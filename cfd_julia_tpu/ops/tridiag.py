@@ -134,10 +134,11 @@ def solve_cyclic(a, b, c, d, method: str = "pcr"):
     acyclic system twice (batched into one PCR call) and combines.
     """
     a, b, c, d = jnp.broadcast_arrays(a, b, c, d)
-    alpha = a[..., 0]
-    beta = c[..., -1]
+    alpha = a[..., 0]   # A[0, n-1]
+    beta = c[..., -1]   # A[n-1, 0]
     gamma = -b[..., 0]
 
+    # A = T + u v^T with u = (gamma, 0..0, beta), v = (1, 0..0, alpha/gamma)
     b_mod = b.at[..., 0].add(-gamma)
     b_mod = b_mod.at[..., -1].add(-alpha * beta / gamma)
     a_mod = a.at[..., 0].set(0.0)
@@ -145,13 +146,13 @@ def solve_cyclic(a, b, c, d, method: str = "pcr"):
 
     u = jnp.zeros_like(d)
     u = u.at[..., 0].set(gamma)
-    u = u.at[..., -1].set(alpha)
+    u = u.at[..., -1].set(beta)
 
     rhs = jnp.stack([d, u], axis=0)
     yz = solve(a_mod[None], b_mod[None], c_mod[None], rhs, method=method)
     y, z = yz[0], yz[1]
 
-    fact = (y[..., 0] + beta * y[..., -1] / gamma) / (
-        1.0 + z[..., 0] + beta * z[..., -1] / gamma
+    fact = (y[..., 0] + alpha * y[..., -1] / gamma) / (
+        1.0 + z[..., 0] + alpha * z[..., -1] / gamma
     )
     return y - fact[..., None] * z
