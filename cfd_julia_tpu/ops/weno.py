@@ -14,12 +14,14 @@ Boundary closures (all verified index-for-index against the reference):
 * ``mirror``      reflection about the boundary interfaces (wenoL_roe/wenoR_roe)
 
 Output convention (0-based):
-* ``reconstruct_left``  returns uL with uL[j] = left-biased state at
-  interface x_{j+1/2}; stencil centred on u_j.
-* ``reconstruct_right`` returns uR with uR[j] = right-biased state at
-  interface x_{j-1/2}; stencil centred on u_j.
-The number of interfaces returned per variant matches the reference layout
-(see each pad builder).
+* ``periodic`` (n nodes -> n outputs) and ``extrapolate`` (N+1 nodes -> N
+  outputs): L output j is the left-biased state at x_{j+1/2} centred on u_j
+  (extrapolate: centred u_j, j=0..N-1); R output j is the right-biased state
+  centred on u_{j+?}: periodic R[j] sits at x_{j-1/2} centred u_j;
+  extrapolate R[j] sits at x_{j+1/2} centred u_{j+1}.
+* ``mirror`` (n cells -> n+1 interface outputs j=0..n, boundary faces
+  included): L[j] centred u_{j-1} and R[j] centred u_j, both at x_{j-1/2} —
+  exactly the Euler layout of wenoL_roe/wenoR_roe.
 """
 from __future__ import annotations
 
@@ -74,16 +76,13 @@ def _stencils(u_ghost, n_out: int):
 # Each builder returns (u_ghost, n_out) such that output j uses
 # u_ghost[..., j:j+5] with v3 centred per the module docstring.
 
-def _pad_periodic_L(u):
-    # uL[j], j = 0..n: stencil u_{j-3}..u_{j+1} (wrap). Common.jl:400-451.
+def _pad_periodic(u):
+    # n unique nodes; output j = 0..n-1 uses stencil u_{j-2}..u_{j+2} (wrap),
+    # centred on u_j. L output lives at x_{j+1/2}, R output at x_{j-1/2}.
+    # Same interface values as Common.jl:400-509, canonical cell-centred
+    # indexing (the reference's f-arrays are the same values shifted by one).
     n = u.shape[-1]
-    return jnp.concatenate([u[..., -3:], u, u[..., :2]], axis=-1), n + 1
-
-
-def _pad_periodic_R(u):
-    # uR[j], j = 0..n: stencil u_{j-2}..u_{j+2} (wrap). Common.jl:458-509.
-    n = u.shape[-1]
-    return jnp.concatenate([u[..., -2:], u, u[..., :3]], axis=-1), n + 1
+    return jnp.concatenate([u[..., -2:], u, u[..., :2]], axis=-1), n
 
 
 def _pad_extrap_L(u):
@@ -123,8 +122,8 @@ def _pad_mirror_R(u):
 
 
 _PADS = {
-    ("periodic", "L"): _pad_periodic_L,
-    ("periodic", "R"): _pad_periodic_R,
+    ("periodic", "L"): _pad_periodic,
+    ("periodic", "R"): _pad_periodic,
     ("extrapolate", "L"): _pad_extrap_L,
     ("extrapolate", "R"): _pad_extrap_R,
     ("mirror", "L"): _pad_mirror_L,
