@@ -1,0 +1,149 @@
+"""Spectral primitives: FFT Poisson eigenvalue solves, DST-I (fast sine
+transform), wavenumber arrays, dealiasing masks.
+
+TPU-native notes:
+* XLA has no real-to-real transforms, so DST-I (FFTW RODFT00, used by the
+  reference for Dirichlet Poisson and the cavity solver, fft_d.jl:13,
+  lid_driven_cavity.jl:11-21) is built from an odd extension + rfft:
+  for v of length m, the odd extension y = [0, v, 0, -reverse(v)] of length
+  2(m+1) satisfies FFT(y)_k = -i * DST1(v)_k, so DST1(v) = -Im rfft(y)[1:m+1].
+  DST-I is its own inverse up to the factor 2(m+1).
+* Periodic Poisson eigenvalue solves follow fps (Common.jl:97-125) /
+  ps_fft (fft_p.jl:8-42) / ps_spectral (fft_s.jl:8-37): forward FFT of the
+  source, divide by (FDM or spectral) eigenvalues, zero the mean mode,
+  inverse FFT.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def fft_wavenumber_index(n: int, dx: float, dtype, eps: float = 1e-6):
+    """k_i = hx * [0, 1, .., n/2-1, -n/2, .., -1] with hx = 2 pi/(n dx) and
+    the k_0 = eps guard (wavespace, Common.jl:184-204)."""
+    hx = 2 * jnp.pi / (n * dx)
+    i = jnp.arange(n, dtype=dtype)
+    k = hx * jnp.where(i < n // 2, i, i - n)
+    return k.at[0].set(eps)
+
+
+def wavespace(nx: int, ny: int, dx: float, dy: float, dtype, eps: float = 1e-6):
+    """k^2 = kx_i^2 + ky_j^2 (Common.jl:184-204)."""
+    kx = fft_wavenumber_index(nx, dx, dtype, eps)
+    ky = fft_wavenumber_index(ny, dy, dtype, eps)
+    return kx[:, None] ** 2 + ky[None, :] ** 2
+
+
+def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
+                         eps: float = 1e-6):
+    """Solve laplacian(u) = f on an nx x ny periodic grid (unique nodes).
+
+    eigen="fdm": second-order FDM eigenvalues aa + bb cos(kx) + cc cos(ky)
+    with the *index-space* wavenumbers kx = 2 pi i / n (fft_p.jl:8-42,
+    identical to fps Common.jl:97-125).
+    eigen="spectral": exact eigenvalues -(kx^2 + ky^2) with physical
+    wavenumbers (fft_s.jl:8-37).
+    The mean mode is zeroed (solvability / gauge fixing)."""
+    nx, ny = f.shape[-2], f.shape[-1]
+    dtype = f.dtype
+    e = jnp.fft.fft2(f)
+    if eigen == "fdm":
+        ix = jnp.arange(nx, dtype=dtype)
+        iy = jnp.arange(ny, dtype=dtype)
+        kx = (2 * jnp.pi / nx) * jnp.where(ix < nx // 2, ix, ix - nx)
+        ky = (2 * jnp.pi / ny) * jnp.where(iy < ny // 2, iy, iy - ny)
+        kx = kx.at[0].set(eps)
+        ky = ky.at[0].set(eps)
+        aa = -2.0 / dx**2 - 2.0 / dy**2
+        bb = 2.0 / dx**2
+        cc = 2.0 / dy**2
+        den = aa + bb * jnp.cos(kx)[:, None] + cc * jnp.cos(ky)[None, :]
+    elif eigen == "spectral":
+        kx = fft_wavenumber_index(nx, dx, dtype, eps)
+        ky = fft_wavenumber_index(ny, dy, dtype, eps)
+        den = -(kx[:, None] ** 2) - ky[None, :] ** 2
+    else:
+        raise ValueError(f"unknown eigenvalue mode {eigen!r}")
+    e = e.at[..., 0, 0].set(0.0)
+    return jnp.real(jnp.fft.ifft2(e / den))
+
+
+# ----------------------------------------------------------------- DST-I
+
+def dst1(v, axis: int = -1):
+    """DST-I along `axis`: X_k = 2 sum_j v_j sin(pi (j+1)(k+1) / (m+1)),
+    matching FFTW's unnormalized RODFT00 on m interior points."""
+    v = jnp.moveaxis(v, axis, -1)
+    m = v.shape[-1]
+    z = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
+    y = jnp.concatenate([z, v, z, -v[..., ::-1]], axis=-1)   # length 2(m+1)
+    X = -jnp.fft.rfft(y, axis=-1).imag[..., 1 : m + 1]
+    return jnp.moveaxis(X.astype(v.dtype), -1, axis)
+
+
+def dst1_2d(v):
+    """2D DST-I over the last two axes (= FFTW.r2r(..., RODFT00))."""
+    return dst1(dst1(v, axis=-1), axis=-2)
+
+
+def idst1_2d(v, norm_nx: int, norm_ny: int):
+    """Inverse 2D DST-I with the reference normalization /(2 nx * 2 ny)
+    (fft_d.jl:22): the forward pair applied twice scales by 4 nx ny."""
+    return dst1_2d(v) / (4.0 * norm_nx * norm_ny)
+
+
+def fst_poisson_dirichlet(f_interior, dx: float, dy: float):
+    """Solve laplacian(u) = f with homogeneous Dirichlet BCs via DST-I.
+
+    f_interior: (nx-1, ny-1) interior nodes of an (nx+1, ny+1) grid.
+    Returns interior solution of the same shape. Eigenvalues are the DST
+    diagonalization of the 5-point Laplacian (fft_d.jl:7-23)."""
+    mx, my = f_interior.shape[-2], f_interior.shape[-1]
+    nx, ny = mx + 1, my + 1
+    dtype = f_interior.dtype
+    i = jnp.arange(1, nx, dtype=dtype)
+    j = jnp.arange(1, ny, dtype=dtype)
+    den = (2.0 / dx**2) * (jnp.cos(jnp.pi * i / nx) - 1.0)[:, None] + (
+        2.0 / dy**2
+    ) * (jnp.cos(jnp.pi * j / ny) - 1.0)[None, :]
+    e = dst1_2d(f_interior)
+    return idst1_2d(e / den, nx, ny)
+
+
+# ------------------------------------------------------------- dealiasing
+
+def dealias_mask_23(nx: int, ny: int):
+    """2/3-rule mask: zero modes with |k_index| >= n/3 in either dimension
+    (pseudospectral_23_rule.jl:124-133 zeroes above 2n/3 of the half
+    spectrum, i.e. keeps |k| < n/3)."""
+    ix = jnp.arange(nx)
+    iy = jnp.arange(ny)
+    kx = jnp.where(ix < nx // 2, ix, nx - ix)
+    ky = jnp.where(iy < ny // 2, iy, ny - iy)
+    return ((kx[:, None] < nx / 3.0) & (ky[None, :] < ny / 3.0))
+
+
+def pad_32(fhat, nxe: int, nye: int):
+    """Zero-pad an (nx, ny) spectrum into an (nxe, nye) spectrum (3/2-rule
+    dealiasing, pseudospectral_32_rule.jl:124-153), preserving Parseval
+    scaling for the round trip (scale by (nxe nye)/(nx ny) on ifft)."""
+    nx, ny = fhat.shape[-2], fhat.shape[-1]
+    out = jnp.zeros(fhat.shape[:-2] + (nxe, nye), fhat.dtype)
+    hx, hy = nx // 2, ny // 2
+    out = out.at[..., :hx, :hy].set(fhat[..., :hx, :hy])
+    out = out.at[..., :hx, nye - hy :].set(fhat[..., :hx, hy:])
+    out = out.at[..., nxe - hx :, :hy].set(fhat[..., hx:, :hy])
+    out = out.at[..., nxe - hx :, nye - hy :].set(fhat[..., hx:, hy:])
+    return out
+
+
+def truncate_32(fhat_e, nx: int, ny: int):
+    """Inverse of pad_32: gather the retained modes back to (nx, ny)."""
+    nxe, nye = fhat_e.shape[-2], fhat_e.shape[-1]
+    hx, hy = nx // 2, ny // 2
+    rows = jnp.concatenate(
+        [fhat_e[..., :hx, :], fhat_e[..., nxe - hx :, :]], axis=-2
+    )
+    return jnp.concatenate(
+        [rows[..., :, :hy], rows[..., :, nye - hy :]], axis=-1
+    )

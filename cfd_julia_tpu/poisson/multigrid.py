@@ -1,0 +1,166 @@
+"""Geometric multigrid V-cycle for the 2D Poisson equation.
+
+Reference: 17_Poisson_Solver_Multigrid/mg.jl (2-level) and mg_N.jl
+(N-level, the general case this module implements). Transfer operators are
+full-weighting restriction (Common.jl:21-48) and bilinear prolongation
+(Common.jl:50-76), vectorized as strided-slice arithmetic.
+
+TPU-native deviations from the reference:
+* The smoother is red-black Gauss-Seidel (two data-parallel half-sweeps)
+  instead of the order-dependent lexicographic sweep of `gauss_seidel_mg`
+  (Common.jl:78-92) — same O(1) smoothing factor, fully vector-parallel
+  (SURVEY §3.3: the one reference algorithm that cannot map directly to
+  data-parallel hardware).
+* The level pyramid is static (shapes fixed at trace time); the V-cycle is
+  Python-unrolled inside a single `lax.while_loop`, convergence checked
+  on-device once per cycle — zero host round-trips.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cfd_julia_tpu.poisson.iterative import (
+    IterativeResult,
+    _interior_residual,
+    _rms_interior,
+    interior_masks,
+    redblack_sweep,
+)
+
+
+def restriction(r):
+    """Full-weighting fine -> coarse transfer on node-centred grids
+    (Common.jl:21-48). r: (nxf+1, nyf+1) -> (nxf//2+1, nyf//2+1)."""
+    nxf, nyf = r.shape[0] - 1, r.shape[1] - 1
+    nxc, nyc = nxf // 2, nyf // 2
+    # interior coarse nodes I=1..nxc-1 live at fine nodes 2I
+    c = r[2:-2:2, 2:-2:2]
+    e = r[3:-1:2, 2:-2:2] + r[1:-3:2, 2:-2:2]
+    f_ = r[2:-2:2, 3:-1:2] + r[2:-2:2, 1:-3:2]
+    corners = (
+        r[3:-1:2, 3:-1:2] + r[3:-1:2, 1:-3:2]
+        + r[1:-3:2, 3:-1:2] + r[1:-3:2, 1:-3:2]
+    )
+    interior = (4.0 * c + 2.0 * (e + f_) + corners) / 16.0
+    ec = jnp.zeros((nxc + 1, nyc + 1), r.dtype)
+    ec = ec.at[1:-1, 1:-1].set(interior)
+    # boundary rows/cols: direct injection of coincident fine nodes
+    ec = ec.at[0, :].set(r[0, ::2])
+    ec = ec.at[-1, :].set(r[-1, ::2])
+    ec = ec.at[:, 0].set(r[::2, 0])
+    ec = ec.at[:, -1].set(r[::2, -1])
+    return ec
+
+
+def prolongation(uc):
+    """Bilinear coarse -> fine transfer (Common.jl:50-76).
+    uc: (nxc+1, nyc+1) -> (2nxc+1, 2nyc+1)."""
+    nxc, nyc = uc.shape[0] - 1, uc.shape[1] - 1
+    nxf, nyf = 2 * nxc, 2 * nyc
+    ef = jnp.zeros((nxf + 1, nyf + 1), uc.dtype)
+    ef = ef.at[::2, ::2].set(uc)                                   # injection
+    ef = ef.at[::2, 1::2].set(0.5 * (uc[:, :-1] + uc[:, 1:]))      # E midpoints
+    ef = ef.at[1::2, ::2].set(0.5 * (uc[:-1, :] + uc[1:, :]))      # N midpoints
+    ef = ef.at[1::2, 1::2].set(
+        0.25 * (uc[:-1, :-1] + uc[:-1, 1:] + uc[1:, :-1] + uc[1:, 1:])
+    )
+    return ef
+
+
+def smooth(u, f, dx: float, dy: float, iters: int, masks):
+    """`iters` red-black GS sweeps (replaces gauss_seidel_mg)."""
+    mr, mb = masks
+    return lax.fori_loop(
+        0, iters, lambda _, uu: redblack_sweep(uu, f, dx, dy, mr, mb), u
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MGConfig:
+    n_levels: int = 0          # 0 -> auto (coarsen to 2x2 cells)
+    v1: int = 2                # pre-smoothing sweeps (mg_N.jl v1)
+    v2: int = 2                # coarsest-level sweeps (v2)
+    v3: int = 2                # post-smoothing sweeps (v3)
+    tol: float = 1e-9
+    max_cycles: int = 100
+
+
+def _build_levels(nx, ny, dx, dy, n_levels):
+    if n_levels <= 0:
+        n_levels = 1
+        m = min(nx, ny)
+        while m % 2 == 0 and m > 2:
+            m //= 2
+            n_levels += 1
+    levels = []
+    for l in range(n_levels):
+        levels.append((nx >> l, ny >> l, dx * (1 << l), dy * (1 << l)))
+        assert (nx >> l) >= 2 and (ny >> l) >= 2, "too many MG levels"
+    return levels
+
+
+def v_cycle(u, f, levels, masks, cfg: MGConfig):
+    """One V-cycle over the static level pyramid (mg_N.jl:53-106)."""
+    n = len(levels)
+    nx0, ny0, dx0, dy0 = levels[0]
+    u = smooth(u, f, dx0, dy0, cfg.v1, masks[0])
+
+    # descend: residual -> restrict -> relax from zero
+    fs = [f]
+    us = [u]
+    for k in range(1, n):
+        nxp, nyp, dxp, dyp = levels[k - 1]
+        r = jnp.zeros_like(us[k - 1]).at[1:-1, 1:-1].set(
+            _interior_residual(fs[k - 1], us[k - 1], dxp, dyp)
+        )
+        fk = restriction(r)
+        nxk, nyk, dxk, dyk = levels[k]
+        uk = jnp.zeros((nxk + 1, nyk + 1), u.dtype)
+        iters = cfg.v1 if k < n - 1 else cfg.v2
+        uk = smooth(uk, fk, dxk, dyk, iters, masks[k])
+        fs.append(fk)
+        us.append(uk)
+
+    # ascend: prolongate -> correct -> relax
+    for k in range(n - 1, 0, -1):
+        nxp, nyp, dxp, dyp = levels[k - 1]
+        corr = prolongation(us[k])
+        us[k - 1] = us[k - 1].at[1:-1, 1:-1].add(corr[1:-1, 1:-1])
+        us[k - 1] = smooth(us[k - 1], fs[k - 1], dxp, dyp, cfg.v3, masks[k - 1])
+    return us[0]
+
+
+@partial(jax.jit, static_argnames=("dx", "dy", "cfg"))
+def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeResult:
+    """V-cycle iteration until rms/rms0 <= tol (mg_N.jl:53-106), residual
+    history recorded once per cycle on-device."""
+    nx, ny = f.shape[0] - 1, f.shape[1] - 1
+    levels = _build_levels(nx, ny, dx, dy, cfg.n_levels)
+    masks = [interior_masks(l[0], l[1]) for l in levels]
+
+    rms0 = _rms_interior(_interior_residual(f, u0, dx, dy))
+    hist0 = jnp.full((cfg.max_cycles + 1, 3), jnp.nan, f.dtype)
+
+    def cond(c):
+        u, it, rms, hist, nrec = c
+        return (it < cfg.max_cycles) & (rms / rms0 > cfg.tol)
+
+    def body(c):
+        u, it, rms, hist, nrec = c
+        u = v_cycle(u, f, levels, masks, cfg)
+        it = it + 1
+        rms = _rms_interior(_interior_residual(f, u, dx, dy))
+        rec = jnp.stack([it.astype(f.dtype), rms, rms / rms0])
+        hist = lax.dynamic_update_slice(hist, rec[None], (nrec, 0))
+        return (u, it, rms, hist, nrec + 1)
+
+    u, it, rms, hist, nrec = lax.while_loop(
+        cond, body, (u0, jnp.array(0), rms0, hist0, jnp.array(0))
+    )
+    return IterativeResult(u=u, iterations=it, rms=rms, rms0=rms0,
+                           history=hist, n_records=nrec)

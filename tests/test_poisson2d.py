@@ -1,0 +1,102 @@
+"""2D Poisson stack (reference ch. 12-17): direct transform solvers,
+iterative relaxation/CG, multigrid — error norms, convergence orders,
+residual histories, and cross-solver agreement.
+"""
+import numpy as np
+import pytest
+
+from cfd_julia_tpu.models import poisson2d
+from cfd_julia_tpu.poisson import multigrid
+
+
+def test_fft_fdm_reference_accuracy():
+    """The only numbers recorded in the reference repo: FFT-FDM L2 error
+    1.56e-3 at 32^2 down to 8.87e-6 at 512^2
+    (13_.../specrtral_vs_FDM/order.jl:11)."""
+    errs = {}
+    for nx in (32, 64, 128, 256):
+        cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="fft", problem="sine32")
+        errs[nx] = float(poisson2d.solve(cfg).l2_error)
+    # measured here: 1.66e-3, 6.18e-4, 1.45e-4, 3.58e-5 vs reference-recorded
+    # 1.56e-3, 5.99e-4, 1.43e-4, 3.55e-5 (coarse-grid gap = fp roundoff of the
+    # aliased 32 pi mode, sin(pi*i) != 0 in floating point)
+    assert abs(errs[32] - 1.56e-3) / 1.56e-3 < 0.08, errs
+    assert abs(errs[256] - 3.55e-5) / 3.55e-5 < 0.02, errs
+    # asymptotic second-order convergence
+    p = np.log(errs[64] / errs[256]) / np.log(4.0)
+    assert p > 1.9, (errs, p)
+
+
+def test_fft_spectral_machine_precision():
+    """Spectral eigenvalues resolve the MMS exactly: error ~ machine eps
+    (recorded ~1.3e-16 in 13_.../order.jl:10)."""
+    cfg = poisson2d.PoissonConfig(nx=64, ny=64, solver="fft_spectral", problem="sine32")
+    res = poisson2d.solve(cfg)
+    assert float(res.l2_error) < 1e-13, float(res.l2_error)
+
+
+def test_fst_matches_fft_fdm_accuracy():
+    """DST-I solver is the same 2nd-order FDM inverse on Dirichlet BCs."""
+    cfg = poisson2d.PoissonConfig(nx=128, ny=128, solver="fst", problem="sine32")
+    res = poisson2d.solve(cfg)
+    cfg2 = poisson2d.PoissonConfig(nx=128, ny=128, solver="fft", problem="sine32")
+    res2 = poisson2d.solve(cfg2)
+    assert float(res.l2_error) < 2 * float(res2.l2_error) + 1e-6
+
+
+@pytest.mark.parametrize("solver", ["jacobi", "redblack", "cg", "multigrid"])
+def test_iterative_solvers_converge(solver):
+    """All iterative solvers reach tol and match the exact poly solution.
+    For ue = (x^2-1)(y^2-1) the 5-point Laplacian is exact (second
+    differences of quadratics are exact), so discretization error is zero
+    and the final error reflects only the solve tolerance."""
+    kwargs = {}
+    if solver == "multigrid":
+        kwargs["mg"] = multigrid.MGConfig(tol=1e-10, max_cycles=60)
+    cfg = poisson2d.PoissonConfig(
+        nx=64, ny=64, solver=solver, problem="poly",
+        tol=1e-10, max_iter=200_000, freq=1000, **kwargs,
+    )
+    res = poisson2d.solve(cfg)
+    assert float(res.rms) / float(res.rms0) <= (
+        kwargs["mg"].tol if solver == "multigrid" else cfg.tol
+    ) * 1.001, (solver, float(res.rms / res.rms0))
+    assert float(res.linf_error) < 1e-6, (solver, float(res.linf_error))
+
+
+def test_multigrid_is_fast():
+    """V-cycle converges in O(10) cycles independent of grid size
+    (mg_N.jl runs 512^2 to 1e-9 in a handful of cycles)."""
+    for nx in (64, 128):
+        cfg = poisson2d.PoissonConfig(
+            nx=nx, ny=nx, solver="multigrid", problem="sine16",
+            mg=multigrid.MGConfig(tol=1e-9, max_cycles=50),
+        )
+        res = poisson2d.solve(cfg)
+        assert int(res.iterations) <= 15, (nx, int(res.iterations))
+
+
+def test_redblack_beats_jacobi():
+    """True GS converges ~2x faster than Jacobi per sweep."""
+    out = {}
+    for solver in ("jacobi", "redblack"):
+        cfg = poisson2d.PoissonConfig(
+            nx=32, ny=32, solver=solver, problem="poly",
+            tol=1e-8, max_iter=100_000, freq=100,
+        )
+        out[solver] = int(poisson2d.solve(cfg).iterations)
+    assert out["redblack"] < 0.7 * out["jacobi"], out
+
+
+def test_residual_history_recorded():
+    cfg = poisson2d.PoissonConfig(
+        nx=32, ny=32, solver="cg", problem="poly", tol=1e-9,
+        max_iter=10_000, freq=10,
+    )
+    res = poisson2d.solve(cfg)
+    n = int(res.iterations)
+    hist = np.asarray(res.history)
+    nrec = int(np.sum(~np.isnan(hist[:, 0])))
+    assert nrec >= max(1, n // 10 - 1)
+    rms_ratio = hist[:nrec, 2]
+    assert (np.diff(rms_ratio) < 1e-6).mean() > 0.6  # mostly decreasing
