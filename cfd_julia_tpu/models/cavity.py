@@ -1,0 +1,158 @@
+"""Lid-driven cavity — 2D incompressible NS in vorticity-streamfunction
+form (reference ch. 18, lid_driven_cavity.jl).
+
+Per SSP-RK3 stage (lid_driven_cavity.jl:72-110):
+  1. r = -J(w, psi) + (1/Re) lap(w)   (Arakawa, interior nodes)
+  2. stage-combine w on the interior
+  3. vorticity wall BCs from the current psi (Hoffmann 1st-order `bc` or
+     Jensen 2nd-order `bc2`, lid_driven_cavity.jl:24-51; moving lid adds
+     -3/dy on the top wall for bc2, -2/dy for bc)
+  4. psi = DST-I Poisson solve of lap(psi) = -w (fps_sine :11-21)
+
+Six DST-I transforms per time step — the #1 hot path of the north-star
+metric (cavity steps/sec at 1024^2). The whole step is one fused XLA
+program; the steady-state monitor ||psi^n - psi^{n-1}|| stacks as a scan
+output (reference writes it per-step to res_plot.txt, :112-116).
+
+Domain [0,1]^2, Re=100, 64^2, dt=1e-3, t=10 in the reference run; the lid
+moves in +x at the TOP wall (j = ny).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cfd_julia_tpu.core import precision
+from cfd_julia_tpu.ops import arakawa
+from cfd_julia_tpu.poisson import direct
+
+
+@dataclasses.dataclass(frozen=True)
+class CavityConfig:
+    nx: int = 64
+    ny: int = 64
+    dt: float = 1e-3
+    t_final: float = 10.0
+    re: float = 100.0
+    bc_order: int = 2        # 1 = Hoffmann, 2 = Jensen (reference default)
+
+    @property
+    def dx(self) -> float:
+        return 1.0 / self.nx
+
+    @property
+    def dy(self) -> float:
+        return 1.0 / self.ny
+
+    @property
+    def nt(self) -> int:
+        return round(self.t_final / self.dt)
+
+
+@dataclasses.dataclass
+class CavityResult:
+    x: jnp.ndarray
+    y: jnp.ndarray
+    w: jnp.ndarray             # vorticity (nx+1, ny+1)
+    s: jnp.ndarray             # streamfunction
+    rms_history: jnp.ndarray   # ||psi^n - psi^{n-1}|| per step (nt,)
+
+
+def apply_wall_bc(w, s, dx: float, dy: float, order: int = 2):
+    """Vorticity wall boundary conditions from the streamfunction
+    (lid_driven_cavity.jl:24-51). Top wall (j=ny) is the moving lid."""
+    if order == 1:
+        w = w.at[0, :].set(-2.0 * s[1, :] / dx**2)
+        w = w.at[-1, :].set(-2.0 * s[-2, :] / dx**2)
+        w = w.at[:, 0].set(-2.0 * s[:, 1] / dy**2)
+        w = w.at[:, -1].set(-2.0 * s[:, -2] / dy**2 - 2.0 / dy)
+    elif order == 2:
+        w = w.at[0, :].set((-4.0 * s[1, :] + 0.5 * s[2, :]) / dx**2)
+        w = w.at[-1, :].set((-4.0 * s[-2, :] + 0.5 * s[-3, :]) / dx**2)
+        w = w.at[:, 0].set((-4.0 * s[:, 1] + 0.5 * s[:, 2]) / dy**2)
+        w = w.at[:, -1].set(
+            (-4.0 * s[:, -2] + 0.5 * s[:, -3]) / dy**2 - 3.0 / dy
+        )
+    else:
+        raise ValueError("bc_order must be 1 or 2")
+    return w
+
+
+def make_step_fn(cfg: CavityConfig):
+    dx, dy, dt, re = cfg.dx, cfg.dy, cfg.dt, cfg.re
+
+    def rhs_interior(w, s):
+        return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
+
+    def stage_close(wt, s_prev):
+        """BC fill from the pre-stage psi, then fresh psi solve."""
+        wt = apply_wall_bc(wt, s_prev, dx, dy, cfg.bc_order)
+        s = direct.solve_fst(-wt, dx, dy)
+        return wt, s
+
+    def step(state):
+        w, s, _ = state
+        sp = s
+
+        r = rhs_interior(w, s)
+        wt = w.at[1:-1, 1:-1].set(w[1:-1, 1:-1] + dt * r)
+        wt, s = stage_close(wt, s)
+
+        r = rhs_interior(wt, s)
+        wt = wt.at[1:-1, 1:-1].set(
+            0.75 * w[1:-1, 1:-1] + 0.25 * wt[1:-1, 1:-1] + 0.25 * dt * r
+        )
+        wt, s = stage_close(wt, s)
+
+        r = rhs_interior(wt, s)
+        wn = wt.at[1:-1, 1:-1].set(
+            (w[1:-1, 1:-1] + 2.0 * wt[1:-1, 1:-1] + 2.0 * dt * r) / 3.0
+        )
+        wn, s = stage_close(wn, s)
+
+        rms = jnp.sqrt(jnp.mean((s - sp) ** 2))
+        return (wn, s, rms)
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _run(cfg: CavityConfig, w0, s0):
+    step = make_step_fn(cfg)
+
+    def body(state, _):
+        state = step(state)
+        return state, state[2]
+
+    init = (w0, s0, jnp.zeros((), w0.dtype))
+    (w, s, _), rms_hist = lax.scan(body, init, None, length=cfg.nt)
+    return w, s, rms_hist
+
+
+def solve(cfg: CavityConfig, dtype=None) -> CavityResult:
+    dtype = dtype or precision.default_dtype()
+    x = jnp.linspace(0.0, 1.0, cfg.nx + 1, dtype=dtype)
+    y = jnp.linspace(0.0, 1.0, cfg.ny + 1, dtype=dtype)
+    w0 = jnp.zeros((cfg.nx + 1, cfg.ny + 1), dtype)
+    s0 = jnp.zeros_like(w0)
+    w, s, rms_hist = _run(cfg, w0, s0)
+    return CavityResult(x=x, y=y, w=w, s=s, rms_history=rms_hist)
+
+
+def centerline_velocities(res: CavityResult, cfg: CavityConfig):
+    """u(y) on the vertical centerline x=0.5 and v(x) on the horizontal
+    centerline y=0.5 (u = d psi/dy, v = -d psi/dx, central differences) —
+    the Ghia et al. (1982) benchmark quantities."""
+    s = res.s
+    i = cfg.nx // 2
+    j = cfg.ny // 2
+    u = jnp.zeros(cfg.ny + 1, s.dtype)
+    u = u.at[1:-1].set((s[i, 2:] - s[i, :-2]) / (2 * cfg.dy))
+    u = u.at[-1].set(1.0)  # lid
+    v = jnp.zeros(cfg.nx + 1, s.dtype)
+    v = v.at[1:-1].set(-(s[2:, j] - s[:-2, j]) / (2 * cfg.dx))
+    return u, v

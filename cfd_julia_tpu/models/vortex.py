@@ -1,0 +1,243 @@
+"""Periodic 2D NS (vorticity-streamfunction): vortex merger and
+Taylor-Green vortex — four solver formulations (reference ch. 19-22).
+
+* ``fdm``     Arakawa + FFT Poisson + SSP-RK3, all physical space
+              (19_.../vm.jl + Common.vm_rhs). State: vorticity w (nx, ny).
+* ``hybrid``  Arakawa Jacobian in physical space via FFT round trips,
+              diffusion integrated semi-implicitly in Fourier space with a
+              3-stage low-storage RK3/CN scheme (20_.../hybrid.jl).
+              State: vorticity spectrum wf (nx, ny) complex.
+* ``ps32``    fully pseudospectral Jacobian with 3/2-rule zero-padding
+              dealiasing (21_.../pseudospectral_32_rule.jl).
+* ``ps23``    same with 2/3-rule truncation (22_.../pseudospectral_23_rule.jl).
+
+TPU-native notes: no ghost arrays — periodicity is jnp.roll; the spectral
+state stays complex on-device across the whole lax.scan (the reference
+ifft's to write text snapshots mid-loop, vm.jl:78-86; here snapshots stack
+as scan outputs).
+
+Reference run config: 128^2, [0, 2pi]^2, Re=1000, dt=0.01, t=20 (vm);
+TGV validation: 64^2, Re=10, dt=0.01, t=1 (tgv.jl:92-146).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cfd_julia_tpu.core import precision
+from cfd_julia_tpu.ops import arakawa, spectral
+from cfd_julia_tpu.stepping import loop, ssprk3
+
+TWO_PI = 2.0 * jnp.pi
+
+# low-storage RK3/CN coefficients (hybrid.jl:30-32)
+ALPHAS = (8.0 / 15.0, 2.0 / 15.0, 1.0 / 3.0)
+GAMMAS = (8.0 / 15.0, 5.0 / 12.0, 3.0 / 4.0)
+RHOS = (0.0, -17.0 / 60.0, -5.0 / 12.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class VortexConfig:
+    nx: int = 128
+    ny: int = 128
+    solver: str = "fdm"      # fdm | hybrid | ps32 | ps23
+    dt: float = 0.01
+    t_final: float = 20.0
+    re: float = 1000.0
+    ns: int = 10             # snapshots
+    ic: str = "vm"           # vm | tgv
+    tgv_n: int = 4
+
+    @property
+    def dx(self) -> float:
+        return TWO_PI / self.nx
+
+    @property
+    def dy(self) -> float:
+        return TWO_PI / self.ny
+
+    @property
+    def nt(self) -> int:
+        return round(self.t_final / self.dt)
+
+
+@dataclasses.dataclass
+class VortexResult:
+    x: jnp.ndarray            # nx+1 nodes (periodic wrap included)
+    y: jnp.ndarray
+    w: jnp.ndarray            # final vorticity (nx, ny) unique nodes
+    snapshots: jnp.ndarray    # (ns+1, nx, ny)
+
+
+# ------------------------------------------------------------------- ICs
+
+def vm_ic(X, Y):
+    """Two co-rotating Gaussian vortices (Common.jl:208-219)."""
+    sigma = jnp.pi
+    xc1, yc1 = jnp.pi - jnp.pi / 4.0, jnp.pi
+    xc2, yc2 = jnp.pi + jnp.pi / 4.0, jnp.pi
+    return jnp.exp(-sigma * ((X - xc1) ** 2 + (Y - yc1) ** 2)) + jnp.exp(
+        -sigma * ((X - xc2) ** 2 + (Y - yc2) ** 2)
+    )
+
+
+def tgv_exact(X, Y, t, re: float, n: int = 4):
+    """Analytic Taylor-Green vorticity (tgv.jl:82-90)."""
+    return (
+        2.0 * n * jnp.cos(n * X) * jnp.cos(n * Y)
+        * jnp.exp(-2.0 * n**2 * t / re)
+    )
+
+
+def initial_vorticity(cfg: VortexConfig, dtype):
+    x = jnp.arange(cfg.nx, dtype=dtype) * cfg.dx
+    y = jnp.arange(cfg.ny, dtype=dtype) * cfg.dy
+    X, Y = jnp.meshgrid(x, y, indexing="ij")
+    if cfg.ic == "vm":
+        return vm_ic(X, Y)
+    if cfg.ic == "tgv":
+        return tgv_exact(X, Y, 0.0, cfg.re, cfg.tgv_n)
+    raise ValueError(f"unknown IC {cfg.ic!r}")
+
+
+# ----------------------------------------------------------------- FDM
+
+def fdm_rhs(w, dx, dy, re):
+    """vm_rhs: psi from FFT Poisson (FDM eigenvalues), Arakawa + viscous
+    Laplacian (Common.jl:132-182)."""
+    s = spectral.fft_poisson_periodic(-w, dx, dy, eigen="fdm")
+    return arakawa.vorticity_rhs(w, s, dx, dy, re)
+
+
+# ------------------------------------------------- spectral formulations
+
+def _spectral_consts(cfg: VortexConfig, dtype):
+    k2 = spectral.wavespace(cfg.nx, cfg.ny, cfg.dx, cfg.dy, dtype)
+    kx = spectral.fft_wavenumber_index(cfg.nx, cfg.dx, dtype)
+    ky = spectral.fft_wavenumber_index(cfg.ny, cfg.dy, dtype)
+    return k2, kx, ky
+
+
+def jacobian_hybrid(wf, k2, dx, dy):
+    """-J(w, psi) computed in physical space with the Arakawa scheme, psi
+    from the spectrum (hybrid.jl:92-152)."""
+    w = jnp.real(jnp.fft.ifft2(wf))
+    s = jnp.real(jnp.fft.ifft2(wf / k2))
+    return jnp.fft.fft2(-arakawa.jacobian(w, s, dx, dy))
+
+
+def _deriv_spectra(wf, k2, kx, ky):
+    """psi_x, w_y, psi_y, w_x spectra (pseudospectral_32_rule.jl:113-122)."""
+    ikx = 1j * kx[:, None]
+    iky = 1j * ky[None, :]
+    return ikx * wf / k2, iky * wf, iky * wf / k2, ikx * wf
+
+
+def jacobian_ps32(wf, k2, kx, ky, nx, ny):
+    """Pseudospectral Jacobian, 3/2-rule zero-padding dealiasing
+    (pseudospectral_32_rule.jl:95-177): jf = fft(psi_x w_y - psi_y w_x)
+    evaluated on the 1.5x grid, truncated back."""
+    nxe, nye = 3 * nx // 2, 3 * ny // 2
+    scale = (nxe * nye) / (nx * ny)
+    specs = _deriv_spectra(wf, k2, kx, ky)
+    j1, j2, j3, j4 = (
+        jnp.real(jnp.fft.ifft2(spectral.pad_32(s, nxe, nye) * scale))
+        for s in specs
+    )
+    jacp = j1 * j2 - j3 * j4
+    return spectral.truncate_32(jnp.fft.fft2(jacp), nx, ny) / scale
+
+
+def jacobian_ps23(wf, k2, kx, ky, nx, ny):
+    """Pseudospectral Jacobian, 2/3-rule truncation
+    (pseudospectral_23_rule.jl:93-144): derivative spectra are masked
+    before the physical product; the product spectrum is NOT re-masked
+    (reference behaviour)."""
+    nxe, nye = (2 * nx) // 3, (2 * ny) // 3
+    ix = jnp.arange(nx)
+    iy = jnp.arange(ny)
+    keep_x = (ix < nxe // 2) | (ix >= nx - nxe // 2)
+    keep_y = (iy < nye // 2) | (iy >= ny - nye // 2)
+    mask = keep_x[:, None] & keep_y[None, :]
+    specs = (s * mask for s in _deriv_spectra(wf, k2, kx, ky))
+    j1, j2, j3, j4 = (jnp.real(jnp.fft.ifft2(s)) for s in specs)
+    return jnp.fft.fft2(j1 * j2 - j3 * j4)
+
+
+def make_spectral_step(cfg: VortexConfig, dtype):
+    """3-stage low-storage RK3/CN step over the vorticity spectrum
+    (hybrid.jl:34-69, identical stepper in ch. 21/22)."""
+    k2, kx, ky = _spectral_consts(cfg, dtype)
+    dt, re = cfg.dt, cfg.re
+    if cfg.solver == "hybrid":
+        jac = lambda wf: jacobian_hybrid(wf, k2, cfg.dx, cfg.dy)
+    elif cfg.solver == "ps32":
+        jac = lambda wf: jacobian_ps32(wf, k2, kx, ky, cfg.nx, cfg.ny)
+    elif cfg.solver == "ps23":
+        jac = lambda wf: jacobian_ps23(wf, k2, kx, ky, cfg.nx, cfg.ny)
+    else:
+        raise ValueError(cfg.solver)
+
+    ds = [a * 0.5 * dt * k2 / re for a in ALPHAS]
+
+    def step(wf):
+        jn = jac(wf)
+        w1 = ((1.0 - ds[0]) / (1.0 + ds[0])) * wf + (
+            GAMMAS[0] * dt * jn
+        ) / (1.0 + ds[0])
+        w1 = w1.at[0, 0].set(0.0)
+        j1 = jac(w1)
+        w2 = ((1.0 - ds[1]) / (1.0 + ds[1])) * w1 + (
+            RHOS[1] * dt * jn + GAMMAS[1] * dt * j1
+        ) / (1.0 + ds[1])
+        w2 = w2.at[0, 0].set(0.0)
+        j2 = jac(w2)
+        wn = ((1.0 - ds[2]) / (1.0 + ds[2])) * w2 + (
+            RHOS[2] * dt * j1 + GAMMAS[2] * dt * j2
+        ) / (1.0 + ds[2])
+        return wn.at[0, 0].set(0.0)
+
+    return step
+
+
+# ----------------------------------------------------------------- driver
+
+def solve(cfg: VortexConfig, dtype=None) -> VortexResult:
+    dtype = dtype or precision.default_dtype()
+    w0 = initial_vorticity(cfg, dtype)
+    x = jnp.arange(cfg.nx + 1, dtype=dtype) * cfg.dx
+    y = jnp.arange(cfg.ny + 1, dtype=dtype) * cfg.dy
+    every = max(1, cfg.nt // cfg.ns)
+
+    if cfg.solver == "fdm":
+        rhs = lambda w: fdm_rhs(w, cfg.dx, cfg.dy, cfg.re)
+        step = lambda w: ssprk3.ssprk3_step(rhs, w, cfg.dt)
+        w, snaps = loop.run_steps_with_snapshots(step, w0, cfg.nt, every)
+        snapshots = jnp.concatenate([w0[None], snaps], axis=0)
+    else:
+        step = make_spectral_step(cfg, dtype)
+        wf0 = jnp.fft.fft2(w0.astype(precision.complex_dtype(dtype)))
+        wf0 = wf0.at[0, 0].set(0.0)
+        observe = lambda wf: jnp.real(jnp.fft.ifft2(wf)).astype(dtype)
+        wf, snaps = loop.run_steps_with_snapshots(
+            step, wf0, cfg.nt, every, observe=observe
+        )
+        w = jnp.real(jnp.fft.ifft2(wf)).astype(dtype)
+        snapshots = jnp.concatenate([w0[None], snaps], axis=0)
+
+    return VortexResult(x=x, y=y, w=w, snapshots=snapshots)
+
+
+def tgv_error(cfg: VortexConfig, res: VortexResult):
+    """L2/max error vs the analytic TGV decay at t_final (tgv.jl:129-139)."""
+    dtype = res.w.dtype
+    x = jnp.arange(cfg.nx, dtype=dtype) * cfg.dx
+    y = jnp.arange(cfg.ny, dtype=dtype) * cfg.dy
+    X, Y = jnp.meshgrid(x, y, indexing="ij")
+    ue = tgv_exact(X, Y, cfg.t_final, cfg.re, cfg.tgv_n)
+    err = res.w - ue
+    return jnp.sqrt(jnp.mean(err**2)), jnp.max(jnp.abs(err))

@@ -113,14 +113,15 @@ def fst_poisson_dirichlet(f_interior, dx: float, dy: float):
 # ------------------------------------------------------------- dealiasing
 
 def dealias_mask_23(nx: int, ny: int):
-    """2/3-rule mask: zero modes with |k_index| >= n/3 in either dimension
-    (pseudospectral_23_rule.jl:124-133 zeroes above 2n/3 of the half
-    spectrum, i.e. keeps |k| < n/3)."""
+    """2/3-rule mask, exact reference indexing
+    (pseudospectral_23_rule.jl:124-133): with ne = floor(2n/3), keep index
+    rows i < ne//2 or i >= n - ne//2 (and likewise columns)."""
+    nxe, nye = (2 * nx) // 3, (2 * ny) // 3
     ix = jnp.arange(nx)
     iy = jnp.arange(ny)
-    kx = jnp.where(ix < nx // 2, ix, nx - ix)
-    ky = jnp.where(iy < ny // 2, iy, ny - iy)
-    return ((kx[:, None] < nx / 3.0) & (ky[None, :] < ny / 3.0))
+    keep_x = (ix < nxe // 2) | (ix >= nx - nxe // 2)
+    keep_y = (iy < nye // 2) | (iy >= ny - nye // 2)
+    return keep_x[:, None] & keep_y[None, :]
 
 
 def pad_32(fhat, nxe: int, nye: int):

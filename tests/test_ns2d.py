@@ -1,0 +1,108 @@
+"""2D Navier-Stokes validation (reference ch. 18-22): Taylor-Green decay,
+Ghia cavity benchmark, cross-solver vortex-merger consistency.
+"""
+import numpy as np
+import pytest
+
+from cfd_julia_tpu.models import cavity, vortex
+
+# Ghia, Ghia & Shin (1982), Re=100, centerline velocities
+GHIA_Y = np.array([0.0, 0.0547, 0.0625, 0.0703, 0.1016, 0.1719, 0.2813,
+                   0.4531, 0.5, 0.6172, 0.7344, 0.8516, 0.9531, 0.9609,
+                   0.9688, 0.9766, 1.0])
+GHIA_U = np.array([0.0, -0.03717, -0.04192, -0.04775, -0.06434, -0.10150,
+                   -0.15662, -0.21090, -0.20581, -0.13641, 0.00332, 0.23151,
+                   0.68717, 0.73722, 0.78871, 0.84123, 1.0])
+GHIA_X = np.array([0.0, 0.0625, 0.0703, 0.0781, 0.0938, 0.1563, 0.2266,
+                   0.2344, 0.5, 0.8047, 0.8594, 0.9063, 0.9453, 0.9531,
+                   0.9609, 0.9688, 1.0])
+GHIA_V = np.array([0.0, 0.09233, 0.10091, 0.10890, 0.12317, 0.16077,
+                   0.17507, 0.17527, 0.05454, -0.24533, -0.22445, -0.16914,
+                   -0.10313, -0.08864, -0.07391, -0.05906, 0.0])
+
+
+@pytest.mark.parametrize(
+    "solver,l2_tol",
+    # measured: fdm 6.81e-3 (2nd order spatial); spectral solvers 8.51e-6
+    # (CN time error only — J(w,psi)=0 identically for TGV)
+    [("fdm", 8e-3), ("hybrid", 2e-5), ("ps32", 2e-5), ("ps23", 2e-5)],
+)
+def test_tgv_decay(solver, l2_tol):
+    """Taylor-Green vortex vs analytic decay at reference config
+    (tgv.jl: 64^2, Re=10, dt=.01, t=1)."""
+    cfg = vortex.VortexConfig(
+        nx=64, ny=64, solver=solver, dt=0.01, t_final=1.0, re=10.0,
+        ic="tgv", ns=1,
+    )
+    res = vortex.solve(cfg)
+    l2, linf = vortex.tgv_error(cfg, res)
+    assert float(l2) < l2_tol, (solver, float(l2))
+    assert np.all(np.isfinite(np.asarray(res.w)))
+
+
+def test_tgv_fdm_spatial_order():
+    errs = []
+    for nx in (32, 64):
+        cfg = vortex.VortexConfig(
+            nx=nx, ny=nx, solver="fdm", dt=0.005, t_final=0.5, re=10.0,
+            ic="tgv", ns=1,
+        )
+        res = vortex.solve(cfg)
+        errs.append(float(vortex.tgv_error(cfg, res)[0]))
+    p = np.log(errs[0] / errs[1]) / np.log(2.0)
+    assert p > 1.8, (errs, p)
+
+
+def test_cavity_ghia_re100():
+    """Steady lid-driven cavity at Re=100, 64^2 (reference config) vs the
+    Ghia et al. benchmark centerlines. Measured here: max|u-ghia| 0.0040,
+    max|v-ghia| 0.0055, psi_min -0.10294 (Ghia: -0.103423)."""
+    cfg = cavity.CavityConfig(t_final=10.0)
+    res = cavity.solve(cfg)
+    # steady state reached
+    assert float(res.rms_history[-1]) < 1e-6
+    u, v = cavity.centerline_velocities(res, cfg)
+    y = np.linspace(0, 1, cfg.ny + 1)
+    ui = np.interp(GHIA_Y, y, np.asarray(u))
+    vi = np.interp(GHIA_X, np.linspace(0, 1, cfg.nx + 1), np.asarray(v))
+    assert np.abs(ui - GHIA_U).max() < 0.01
+    assert np.abs(vi - GHIA_V).max() < 0.01
+    assert abs(float(np.asarray(res.s).min()) - (-0.103423)) < 2e-3
+
+
+def test_cavity_bc_orders_agree():
+    """1st-order Hoffmann vs 2nd-order Jensen wall BCs give close fields at
+    64^2 (lid_driven_cavity.jl keeps both, default bc2)."""
+    a = cavity.solve(cavity.CavityConfig(t_final=2.0, bc_order=2))
+    b = cavity.solve(cavity.CavityConfig(t_final=2.0, bc_order=1))
+    diff = np.abs(np.asarray(a.s) - np.asarray(b.s)).max()
+    assert diff < 5e-3, diff
+
+
+def test_vortex_merger_cross_solver():
+    """All four formulations track the same physics: vorticity fields agree
+    after t=2 at 128^2, Re=1000 (spectral trio tightly, FDM looser)."""
+    fields = {}
+    for solver in ("fdm", "hybrid", "ps32", "ps23"):
+        cfg = vortex.VortexConfig(solver=solver, t_final=2.0, ns=1)
+        fields[solver] = np.asarray(vortex.solve(cfg).w)
+    ref = fields["ps32"]
+    scale = np.abs(ref).max()
+    assert np.abs(fields["ps23"] - ref).max() / scale < 5e-3
+    assert np.abs(fields["hybrid"] - ref).max() / scale < 5e-2
+    assert np.abs(fields["fdm"] - ref).max() / scale < 1e-1
+
+
+def test_vortex_merger_snapshots_and_conservation():
+    """Mean vorticity stays zero (periodic integral invariant); enstrophy
+    decays monotonically under viscosity."""
+    cfg = vortex.VortexConfig(solver="ps23", t_final=4.0, ns=4)
+    res = vortex.solve(cfg)
+    assert res.snapshots.shape[0] == 5
+    snaps = np.asarray(res.snapshots)
+    means = snaps.mean(axis=(1, 2))
+    # the spectral solver removes the (gauge) mean mode at t=0, exactly as
+    # the reference zeroes wf[1,1] (hybrid.jl:27); thereafter it stays 0
+    assert np.abs(means[1:]).max() < 1e-12
+    enstrophy = (snaps**2).sum(axis=(1, 2))
+    assert np.all(np.diff(enstrophy) < 0)
