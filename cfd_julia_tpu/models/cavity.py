@@ -62,36 +62,49 @@ class CavityResult:
     rms_history: jnp.ndarray   # ||psi^n - psi^{n-1}|| per step (nt,)
 
 
-def apply_wall_bc(w, s, dx: float, dy: float, order: int = 2):
-    """Vorticity wall boundary conditions from the streamfunction
-    (lid_driven_cavity.jl:24-51). Top wall (j=ny) is the moving lid."""
+def assemble_with_wall_bc(w_interior, s, dx: float, dy: float,
+                          order: int = 2):
+    """Assemble the full (nx+1, ny+1) vorticity field from its interior
+    block and the wall boundary conditions derived from the streamfunction
+    (lid_driven_cavity.jl:24-51). Top wall (j=ny) is the moving lid; the
+    y-wall rows own the corners (the reference writes them last).
+
+    Built by concatenation, not scatter — identical values, and GSPMD
+    partitions concatenations correctly where chained scatters on
+    unevenly-sharded operands miscompile on the CPU test backend."""
     if order == 1:
-        w = w.at[0, :].set(-2.0 * s[1, :] / dx**2)
-        w = w.at[-1, :].set(-2.0 * s[-2, :] / dx**2)
-        w = w.at[:, 0].set(-2.0 * s[:, 1] / dy**2)
-        w = w.at[:, -1].set(-2.0 * s[:, -2] / dy**2 - 2.0 / dy)
+        row_lo = -2.0 * s[1, 1:-1] / dx**2            # x=0 wall
+        row_hi = -2.0 * s[-2, 1:-1] / dx**2           # x=1 wall
+        col_lo = -2.0 * s[:, 1] / dy**2               # y=0 wall
+        col_hi = -2.0 * s[:, -2] / dy**2 - 2.0 / dy   # moving lid
     elif order == 2:
-        w = w.at[0, :].set((-4.0 * s[1, :] + 0.5 * s[2, :]) / dx**2)
-        w = w.at[-1, :].set((-4.0 * s[-2, :] + 0.5 * s[-3, :]) / dx**2)
-        w = w.at[:, 0].set((-4.0 * s[:, 1] + 0.5 * s[:, 2]) / dy**2)
-        w = w.at[:, -1].set(
-            (-4.0 * s[:, -2] + 0.5 * s[:, -3]) / dy**2 - 3.0 / dy
-        )
+        row_lo = (-4.0 * s[1, 1:-1] + 0.5 * s[2, 1:-1]) / dx**2
+        row_hi = (-4.0 * s[-2, 1:-1] + 0.5 * s[-3, 1:-1]) / dx**2
+        col_lo = (-4.0 * s[:, 1] + 0.5 * s[:, 2]) / dy**2
+        col_hi = (-4.0 * s[:, -2] + 0.5 * s[:, -3]) / dy**2 - 3.0 / dy
     else:
         raise ValueError("bc_order must be 1 or 2")
-    return w
+    mid = jnp.concatenate(
+        [row_lo[None, :], w_interior, row_hi[None, :]], axis=0
+    )
+    return jnp.concatenate([col_lo[:, None], mid, col_hi[:, None]], axis=1)
 
 
-def make_step_fn(cfg: CavityConfig):
+def apply_wall_bc(w, s, dx: float, dy: float, order: int = 2):
+    """Wall-BC fill of an existing full field (interior kept)."""
+    return assemble_with_wall_bc(w[1:-1, 1:-1], s, dx, dy, order)
+
+
+def make_step_fn(cfg: CavityConfig, mesh=None):
     dx, dy, dt, re = cfg.dx, cfg.dy, cfg.dt, cfg.re
 
     def rhs_interior(w, s):
         return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
-    def stage_close(wt, s_prev):
-        """BC fill from the pre-stage psi, then fresh psi solve."""
-        wt = apply_wall_bc(wt, s_prev, dx, dy, cfg.bc_order)
-        s = direct.solve_fst(-wt, dx, dy)
+    def stage_close(wt_interior, s_prev):
+        """Assemble with wall BCs from the pre-stage psi, then fresh psi."""
+        wt = assemble_with_wall_bc(wt_interior, s_prev, dx, dy, cfg.bc_order)
+        s = direct.solve_fst(-wt, dx, dy, mesh=mesh)
         return wt, s
 
     def step(state):
@@ -99,20 +112,17 @@ def make_step_fn(cfg: CavityConfig):
         sp = s
 
         r = rhs_interior(w, s)
-        wt = w.at[1:-1, 1:-1].set(w[1:-1, 1:-1] + dt * r)
-        wt, s = stage_close(wt, s)
+        wt, s = stage_close(w[1:-1, 1:-1] + dt * r, s)
 
         r = rhs_interior(wt, s)
-        wt = wt.at[1:-1, 1:-1].set(
-            0.75 * w[1:-1, 1:-1] + 0.25 * wt[1:-1, 1:-1] + 0.25 * dt * r
+        wt, s = stage_close(
+            0.75 * w[1:-1, 1:-1] + 0.25 * wt[1:-1, 1:-1] + 0.25 * dt * r, s
         )
-        wt, s = stage_close(wt, s)
 
         r = rhs_interior(wt, s)
-        wn = wt.at[1:-1, 1:-1].set(
-            (w[1:-1, 1:-1] + 2.0 * wt[1:-1, 1:-1] + 2.0 * dt * r) / 3.0
+        wn, s = stage_close(
+            (w[1:-1, 1:-1] + 2.0 * wt[1:-1, 1:-1] + 2.0 * dt * r) / 3.0, s
         )
-        wn, s = stage_close(wn, s)
 
         rms = jnp.sqrt(jnp.mean((s - sp) ** 2))
         return (wn, s, rms)

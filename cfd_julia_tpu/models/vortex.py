@@ -106,10 +106,10 @@ def initial_vorticity(cfg: VortexConfig, dtype):
 
 # ----------------------------------------------------------------- FDM
 
-def fdm_rhs(w, dx, dy, re):
+def fdm_rhs(w, dx, dy, re, mesh=None):
     """vm_rhs: psi from FFT Poisson (FDM eigenvalues), Arakawa + viscous
     Laplacian (Common.jl:132-182)."""
-    s = spectral.fft_poisson_periodic(-w, dx, dy, eigen="fdm")
+    s = spectral.fft_poisson_periodic(-w, dx, dy, eigen="fdm", mesh=mesh)
     return arakawa.vorticity_rhs(w, s, dx, dy, re)
 
 
@@ -122,12 +122,12 @@ def _spectral_consts(cfg: VortexConfig, dtype):
     return k2, kx, ky
 
 
-def jacobian_hybrid(wf, k2, dx, dy):
+def jacobian_hybrid(wf, k2, dx, dy, mesh=None):
     """-J(w, psi) computed in physical space with the Arakawa scheme, psi
     from the spectrum (hybrid.jl:92-152)."""
-    w = jnp.real(jnp.fft.ifft2(wf))
-    s = jnp.real(jnp.fft.ifft2(wf / k2))
-    return jnp.fft.fft2(-arakawa.jacobian(w, s, dx, dy))
+    w = jnp.real(spectral.ifft2(wf, mesh))
+    s = jnp.real(spectral.ifft2(wf / k2, mesh))
+    return spectral.fft2(-arakawa.jacobian(w, s, dx, dy), mesh)
 
 
 def _deriv_spectra(wf, k2, kx, ky):
@@ -137,7 +137,7 @@ def _deriv_spectra(wf, k2, kx, ky):
     return ikx * wf / k2, iky * wf, iky * wf / k2, ikx * wf
 
 
-def jacobian_ps32(wf, k2, kx, ky, nx, ny):
+def jacobian_ps32(wf, k2, kx, ky, nx, ny, mesh=None):
     """Pseudospectral Jacobian, 3/2-rule zero-padding dealiasing
     (pseudospectral_32_rule.jl:95-177): jf = fft(psi_x w_y - psi_y w_x)
     evaluated on the 1.5x grid, truncated back."""
@@ -145,14 +145,14 @@ def jacobian_ps32(wf, k2, kx, ky, nx, ny):
     scale = (nxe * nye) / (nx * ny)
     specs = _deriv_spectra(wf, k2, kx, ky)
     j1, j2, j3, j4 = (
-        jnp.real(jnp.fft.ifft2(spectral.pad_32(s, nxe, nye) * scale))
+        jnp.real(spectral.ifft2(spectral.pad_32(s, nxe, nye) * scale, mesh))
         for s in specs
     )
     jacp = j1 * j2 - j3 * j4
-    return spectral.truncate_32(jnp.fft.fft2(jacp), nx, ny) / scale
+    return spectral.truncate_32(spectral.fft2(jacp, mesh), nx, ny) / scale
 
 
-def jacobian_ps23(wf, k2, kx, ky, nx, ny):
+def jacobian_ps23(wf, k2, kx, ky, nx, ny, mesh=None):
     """Pseudospectral Jacobian, 2/3-rule truncation
     (pseudospectral_23_rule.jl:93-144): derivative spectra are masked
     before the physical product; the product spectrum is NOT re-masked
@@ -164,21 +164,21 @@ def jacobian_ps23(wf, k2, kx, ky, nx, ny):
     keep_y = (iy < nye // 2) | (iy >= ny - nye // 2)
     mask = keep_x[:, None] & keep_y[None, :]
     specs = (s * mask for s in _deriv_spectra(wf, k2, kx, ky))
-    j1, j2, j3, j4 = (jnp.real(jnp.fft.ifft2(s)) for s in specs)
-    return jnp.fft.fft2(j1 * j2 - j3 * j4)
+    j1, j2, j3, j4 = (jnp.real(spectral.ifft2(s, mesh)) for s in specs)
+    return spectral.fft2(j1 * j2 - j3 * j4, mesh)
 
 
-def make_spectral_step(cfg: VortexConfig, dtype):
+def make_spectral_step(cfg: VortexConfig, dtype, mesh=None):
     """3-stage low-storage RK3/CN step over the vorticity spectrum
     (hybrid.jl:34-69, identical stepper in ch. 21/22)."""
     k2, kx, ky = _spectral_consts(cfg, dtype)
     dt, re = cfg.dt, cfg.re
     if cfg.solver == "hybrid":
-        jac = lambda wf: jacobian_hybrid(wf, k2, cfg.dx, cfg.dy)
+        jac = lambda wf: jacobian_hybrid(wf, k2, cfg.dx, cfg.dy, mesh)
     elif cfg.solver == "ps32":
-        jac = lambda wf: jacobian_ps32(wf, k2, kx, ky, cfg.nx, cfg.ny)
+        jac = lambda wf: jacobian_ps32(wf, k2, kx, ky, cfg.nx, cfg.ny, mesh)
     elif cfg.solver == "ps23":
-        jac = lambda wf: jacobian_ps23(wf, k2, kx, ky, cfg.nx, cfg.ny)
+        jac = lambda wf: jacobian_ps23(wf, k2, kx, ky, cfg.nx, cfg.ny, mesh)
     else:
         raise ValueError(cfg.solver)
 
@@ -189,17 +189,17 @@ def make_spectral_step(cfg: VortexConfig, dtype):
         w1 = ((1.0 - ds[0]) / (1.0 + ds[0])) * wf + (
             GAMMAS[0] * dt * jn
         ) / (1.0 + ds[0])
-        w1 = w1.at[0, 0].set(0.0)
+        w1 = spectral.zero_mean_mode(w1)
         j1 = jac(w1)
         w2 = ((1.0 - ds[1]) / (1.0 + ds[1])) * w1 + (
             RHOS[1] * dt * jn + GAMMAS[1] * dt * j1
         ) / (1.0 + ds[1])
-        w2 = w2.at[0, 0].set(0.0)
+        w2 = spectral.zero_mean_mode(w2)
         j2 = jac(w2)
         wn = ((1.0 - ds[2]) / (1.0 + ds[2])) * w2 + (
             RHOS[2] * dt * j1 + GAMMAS[2] * dt * j2
         ) / (1.0 + ds[2])
-        return wn.at[0, 0].set(0.0)
+        return spectral.zero_mean_mode(wn)
 
     return step
 
@@ -221,7 +221,7 @@ def solve(cfg: VortexConfig, dtype=None) -> VortexResult:
     else:
         step = make_spectral_step(cfg, dtype)
         wf0 = jnp.fft.fft2(w0.astype(precision.complex_dtype(dtype)))
-        wf0 = wf0.at[0, 0].set(0.0)
+        wf0 = spectral.zero_mean_mode(wf0)
         observe = lambda wf: jnp.real(jnp.fft.ifft2(wf)).astype(dtype)
         wf, snaps = loop.run_steps_with_snapshots(
             step, wf0, cfg.nt, every, observe=observe

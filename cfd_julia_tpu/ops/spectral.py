@@ -16,6 +16,59 @@ TPU-native notes:
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+# ------------------------------------------------- mesh-aware transforms
+#
+# Multi-chip note: XLA's partitioned-FFT path is avoided entirely by the
+# classic *pencil decomposition*: a sharding constraint makes the transform
+# axis fully local before each 1D FFT, so the partitioner emits plain
+# all-to-all transposes over ICI and every FFT runs on-chip. (On the CPU
+# test backend the partitioned-FFT path is actually broken —
+# fft_thunk.cc layout RET_CHECK — so this is also the correctness path.)
+# With mesh=None all helpers degrade to plain single-device transforms.
+
+def _constrain(x, mesh, spec):
+    if mesh is None:
+        return x
+    return lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def _pencil_specs(mesh):
+    flat = tuple(mesh.axis_names)
+    return P(flat, None), P(None, flat)  # axis-1-local, axis-0-local
+
+
+def fft2(x, mesh=None):
+    """2D FFT over the last two axes; pencil-decomposed when mesh given."""
+    if mesh is None:
+        return jnp.fft.fft2(x)
+    sx, sy = _pencil_specs(mesh)
+    x = _constrain(x, mesh, sx)
+    x = jnp.fft.fft(x, axis=-1)
+    x = _constrain(x, mesh, sy)
+    return jnp.fft.fft(x, axis=-2)
+
+
+def ifft2(x, mesh=None):
+    if mesh is None:
+        return jnp.fft.ifft2(x)
+    sx, sy = _pencil_specs(mesh)
+    x = _constrain(x, mesh, sy)
+    x = jnp.fft.ifft(x, axis=-2)
+    x = _constrain(x, mesh, sx)
+    return jnp.fft.ifft(x, axis=-1)
+
+
+def zero_mean_mode(e):
+    """Zero the k=(0,0) Fourier mode via an elementwise mask (a scatter on
+    an FFT output miscompiles under GSPMD on the CPU backend; the mask is
+    equivalent and fuses)."""
+    nx, ny = e.shape[-2], e.shape[-1]
+    mask = 1.0 - (jnp.arange(nx)[:, None] == 0) * (jnp.arange(ny)[None, :] == 0)
+    return e * mask.astype(e.real.dtype)
 
 
 def fft_wavenumber_index(n: int, dx: float, dtype, eps: float = 1e-6):
@@ -35,7 +88,7 @@ def wavespace(nx: int, ny: int, dx: float, dy: float, dtype, eps: float = 1e-6):
 
 
 def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
-                         eps: float = 1e-6):
+                         eps: float = 1e-6, mesh=None):
     """Solve laplacian(u) = f on an nx x ny periodic grid (unique nodes).
 
     eigen="fdm": second-order FDM eigenvalues aa + bb cos(kx) + cc cos(ky)
@@ -46,7 +99,7 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
     The mean mode is zeroed (solvability / gauge fixing)."""
     nx, ny = f.shape[-2], f.shape[-1]
     dtype = f.dtype
-    e = jnp.fft.fft2(f)
+    e = fft2(f, mesh)
     if eigen == "fdm":
         ix = jnp.arange(nx, dtype=dtype)
         iy = jnp.arange(ny, dtype=dtype)
@@ -64,35 +117,53 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
         den = -(kx[:, None] ** 2) - ky[None, :] ** 2
     else:
         raise ValueError(f"unknown eigenvalue mode {eigen!r}")
-    e = e.at[..., 0, 0].set(0.0)
-    return jnp.real(jnp.fft.ifft2(e / den))
+    e = zero_mean_mode(e)
+    return jnp.real(ifft2(e / den, mesh))
 
 
 # ----------------------------------------------------------------- DST-I
 
-def dst1(v, axis: int = -1):
+def dst1(v, axis: int = -1, mesh=None):
     """DST-I along `axis`: X_k = 2 sum_j v_j sin(pi (j+1)(k+1) / (m+1)),
-    matching FFTW's unnormalized RODFT00 on m interior points."""
+    matching FFTW's unnormalized RODFT00 on m interior points.
+
+    With a mesh, the transform axis is made local (pencil constraint) and —
+    because DST rows are independent — the non-transform axis is zero-padded
+    up to a device-count multiple first, so the constraint sharding is even
+    (ragged shardings miscompile through the CPU FFT path)."""
     v = jnp.moveaxis(v, axis, -1)
     m = v.shape[-1]
+    n0 = None
+    if mesh is not None and v.ndim == 2:
+        ndev = mesh.devices.size
+        n0 = v.shape[0]
+        n0_pad = ((n0 + ndev - 1) // ndev) * ndev
+        if n0_pad != n0:
+            v = jnp.concatenate(
+                [v, jnp.zeros((n0_pad - n0, m), v.dtype)], axis=0
+            )
+        v = _constrain(v, mesh, P(tuple(mesh.axis_names), None))
     z = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
     y = jnp.concatenate([z, v, z, -v[..., ::-1]], axis=-1)   # length 2(m+1)
     X = -jnp.fft.rfft(y, axis=-1).imag[..., 1 : m + 1]
-    return jnp.moveaxis(X.astype(v.dtype), -1, axis)
+    X = X.astype(v.dtype)
+    if n0 is not None:
+        X = X[:n0]
+    return jnp.moveaxis(X, -1, axis)
 
 
-def dst1_2d(v):
+def dst1_2d(v, mesh=None):
     """2D DST-I over the last two axes (= FFTW.r2r(..., RODFT00))."""
-    return dst1(dst1(v, axis=-1), axis=-2)
+    return dst1(dst1(v, axis=-1, mesh=mesh), axis=-2, mesh=mesh)
 
 
-def idst1_2d(v, norm_nx: int, norm_ny: int):
+def idst1_2d(v, norm_nx: int, norm_ny: int, mesh=None):
     """Inverse 2D DST-I with the reference normalization /(2 nx * 2 ny)
     (fft_d.jl:22): the forward pair applied twice scales by 4 nx ny."""
-    return dst1_2d(v) / (4.0 * norm_nx * norm_ny)
+    return dst1_2d(v, mesh) / (4.0 * norm_nx * norm_ny)
 
 
-def fst_poisson_dirichlet(f_interior, dx: float, dy: float):
+def fst_poisson_dirichlet(f_interior, dx: float, dy: float, mesh=None):
     """Solve laplacian(u) = f with homogeneous Dirichlet BCs via DST-I.
 
     f_interior: (nx-1, ny-1) interior nodes of an (nx+1, ny+1) grid.
@@ -106,8 +177,8 @@ def fst_poisson_dirichlet(f_interior, dx: float, dy: float):
     den = (2.0 / dx**2) * (jnp.cos(jnp.pi * i / nx) - 1.0)[:, None] + (
         2.0 / dy**2
     ) * (jnp.cos(jnp.pi * j / ny) - 1.0)[None, :]
-    e = dst1_2d(f_interior)
-    return idst1_2d(e / den, nx, ny)
+    e = dst1_2d(f_interior, mesh)
+    return idst1_2d(e / den, nx, ny, mesh)
 
 
 # ------------------------------------------------------------- dealiasing

@@ -1,0 +1,125 @@
+"""Explicit halo exchange over the device mesh (shard_map + ppermute).
+
+The stencil half of every solver (Arakawa Jacobian, Laplacians, WENO) only
+needs a 1-2 node halo from each neighbour — the TPU-native equivalent of
+the reference's ghost-cell copies (vm.jl:30-76). `halo_exchange_periodic`
+moves exactly those edges over ICI with `lax.ppermute`; the fused stencil
+then runs on the padded local block with plain slice arithmetic.
+
+This is the manual-collective path (scales to meshes where XLA's automatic
+SPMD partitioner would materialize larger transfers); the automatic path
+(jit + NamedSharding, XLA inserts the collectives) lives in
+parallel.sharded.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _ring_perm(n: int, shift: int):
+    """Send-to permutation for a ring of size n (shift=+1 sends to i+1)."""
+    return [(i, (i + shift) % n) for i in range(n)]
+
+
+def halo_exchange_periodic(ul, mesh_shape: dict, width: int = 1,
+                           axes=("x", "y")):
+    """Pad a local block with `width` halo rows/cols from ring neighbours.
+
+    Must be called inside shard_map over a 2D mesh. ul: (bx, by) local
+    block -> (bx + 2w, by + 2w) padded block, periodic global topology.
+    """
+    ax, ay = axes
+    px, py = mesh_shape[ax], mesh_shape[ay]
+    w = width
+
+    # x-direction: my low halo = high edge of x-neighbour i-1
+    hi_edge = ul[-w:, :]
+    lo_edge = ul[:w, :]
+    if px > 1:
+        lo_halo = lax.ppermute(hi_edge, ax, _ring_perm(px, 1))
+        hi_halo = lax.ppermute(lo_edge, ax, _ring_perm(px, -1))
+    else:
+        lo_halo, hi_halo = hi_edge, lo_edge
+    up = jnp.concatenate([lo_halo, ul, hi_halo], axis=0)
+
+    # y-direction (exchange the already-x-padded edges so corners arrive)
+    hi_edge = up[:, -w:]
+    lo_edge = up[:, :w]
+    if py > 1:
+        lo_halo = lax.ppermute(hi_edge, ay, _ring_perm(py, 1))
+        hi_halo = lax.ppermute(lo_edge, ay, _ring_perm(py, -1))
+    else:
+        lo_halo, hi_halo = hi_edge, lo_edge
+    return jnp.concatenate([lo_halo, up, hi_halo], axis=1)
+
+
+def _arakawa_padded(wp, sp, dx: float, dy: float):
+    """Arakawa J(w,s) on a 1-halo padded block -> interior block (no wrap)."""
+    gg = 1.0 / (4.0 * dx * dy)
+
+    def sh(u, di, dj):
+        return u[1 + di : u.shape[0] - 1 + di, 1 + dj : u.shape[1] - 1 + dj]
+
+    w0, s0 = sh(wp, 0, 0), sh(sp, 0, 0)
+    j1 = (sh(wp, 1, 0) - sh(wp, -1, 0)) * (sh(sp, 0, 1) - sh(sp, 0, -1)) - (
+        sh(wp, 0, 1) - sh(wp, 0, -1)
+    ) * (sh(sp, 1, 0) - sh(sp, -1, 0))
+    j2 = (
+        sh(wp, 1, 0) * (sh(sp, 1, 1) - sh(sp, 1, -1))
+        - sh(wp, -1, 0) * (sh(sp, -1, 1) - sh(sp, -1, -1))
+        - sh(wp, 0, 1) * (sh(sp, 1, 1) - sh(sp, -1, 1))
+        + sh(wp, 0, -1) * (sh(sp, 1, -1) - sh(sp, -1, -1))
+    )
+    j3 = (
+        sh(wp, 1, 1) * (sh(sp, 0, 1) - sh(sp, 1, 0))
+        - sh(wp, -1, -1) * (sh(sp, -1, 0) - sh(sp, 0, -1))
+        - sh(wp, -1, 1) * (sh(sp, 0, 1) - sh(sp, -1, 0))
+        + sh(wp, 1, -1) * (sh(sp, 1, 0) - sh(sp, 0, -1))
+    )
+    return gg * (j1 + j2 + j3) / 3.0
+
+
+def _laplacian_padded(wp, dx: float, dy: float):
+    return (
+        (wp[2:, 1:-1] - 2 * wp[1:-1, 1:-1] + wp[:-2, 1:-1]) / dx**2
+        + (wp[1:-1, 2:] - 2 * wp[1:-1, 1:-1] + wp[1:-1, :-2]) / dy**2
+    )
+
+
+def make_distributed_vorticity_rhs(mesh: Mesh, dx: float, dy: float,
+                                   re: float):
+    """shard_map'd r = -J(w,s) + lap(w)/re over a 2D-decomposed periodic
+    field: one 1-deep halo exchange per operand, fused local stencils."""
+    mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    spec = P(*mesh.axis_names)
+
+    def local_rhs(wl, sl):
+        wp = halo_exchange_periodic(wl, mesh_shape, 1, mesh.axis_names)
+        sp = halo_exchange_periodic(sl, mesh_shape, 1, mesh.axis_names)
+        return -_arakawa_padded(wp, sp, dx, dy) + _laplacian_padded(wp, dx, dy) / re
+
+    return jax.shard_map(
+        local_rhs, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+    )
+
+
+def make_distributed_jacobi_step(mesh: Mesh, dx: float, dy: float):
+    """One distributed point-Jacobi sweep for periodic Poisson
+    lap(u) = f (zero-mean gauge handled by the caller)."""
+    mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    spec = P(*mesh.axis_names)
+    diag = -2.0 / dx**2 - 2.0 / dy**2
+
+    def sweep(ul, fl):
+        up = halo_exchange_periodic(ul, mesh_shape, 1, mesh.axis_names)
+        r = fl - _laplacian_padded(up, dx, dy)
+        return ul + r / diag
+
+    return jax.shard_map(
+        sweep, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+    )

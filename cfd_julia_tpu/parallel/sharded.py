@@ -1,0 +1,75 @@
+"""Automatic-SPMD solver steps: jit + NamedSharding over a 2D device mesh.
+
+The full simulation step (the framework's "training step") compiles once
+with the fields sharded P("x","y"); XLA's SPMD partitioner inserts the ICI
+collectives — halo exchanges for the stencil terms, all-to-all transposes
+for the pencil-decomposed FFTs (ops.spectral mesh plumbing). The manual
+ppermute path for the stencil half lives in parallel.halo.
+
+Node-centred (n+1-sized) fields are padded up to mesh-divisible shapes at
+the jit boundary (GSPMD requires divisible in/out shardings); the step
+operates on the logical [:n+1, :n+1] view and the padding rides along.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cfd_julia_tpu.models import cavity as cavity_model
+from cfd_julia_tpu.models import vortex as vortex_model
+from cfd_julia_tpu.parallel import mesh as mesh_lib
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def padded_shape(shape, mesh):
+    px, py = mesh.devices.shape
+    return (_round_up(shape[0], px), _round_up(shape[1], py))
+
+
+def pad_to_mesh(arr, mesh):
+    ps = padded_shape(arr.shape, mesh)
+    return jnp.pad(arr, ((0, ps[0] - arr.shape[0]), (0, ps[1] - arr.shape[1])))
+
+
+def make_sharded_cavity_step(cfg, mesh):
+    """Sharded full cavity step over padded fields:
+    (w_pad, s_pad, rms) -> (w_pad, s_pad, rms)."""
+    sh = mesh_lib.field_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+    step = cavity_model.make_step_fn(cfg, mesh=mesh)
+    n1, m1 = cfg.nx + 1, cfg.ny + 1
+
+    def padded_step(state):
+        wp, sp, rms = state
+        w, s = wp[:n1, :m1], sp[:n1, :m1]
+        w, s, rms = step((w, s, rms))
+        pads = ((0, wp.shape[0] - n1), (0, wp.shape[1] - m1))
+        return (jnp.pad(w, pads), jnp.pad(s, pads), rms)
+
+    return jax.jit(
+        padded_step,
+        in_shardings=((sh, sh, rep),),
+        out_shardings=(sh, sh, rep),
+    )
+
+
+def make_sharded_vortex_step(cfg, mesh, dtype):
+    """Sharded pseudospectral / hybrid / FDM vortex-merger step (periodic
+    grids are nx x ny — naturally mesh-divisible for power-of-two sizes)."""
+    sh = mesh_lib.field_sharding(mesh)
+    if cfg.solver == "fdm":
+        from cfd_julia_tpu.stepping import ssprk3
+
+        rhs = lambda w: vortex_model.fdm_rhs(w, cfg.dx, cfg.dy, cfg.re, mesh)
+        step = lambda w: ssprk3.ssprk3_step(rhs, w, cfg.dt)
+    else:
+        step = vortex_model.make_spectral_step(cfg, dtype, mesh=mesh)
+    return jax.jit(step, in_shardings=(sh,), out_shardings=sh)
+
+
+def place(arr, mesh):
+    """Place a field with the mesh's 2D sharding (shape must divide)."""
+    return jax.device_put(arr, mesh_lib.field_sharding(mesh))

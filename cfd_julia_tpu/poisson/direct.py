@@ -15,17 +15,17 @@ import jax.numpy as jnp
 from cfd_julia_tpu.ops import spectral
 
 
-def solve_fft(f, dx: float, dy: float, eigen: str = "fdm"):
+def solve_fft(f, dx: float, dy: float, eigen: str = "fdm", mesh=None):
     """Periodic Poisson solve; f, result: (nx+1, ny+1) with wrapped edges."""
-    un = spectral.fft_poisson_periodic(f[:-1, :-1], dx, dy, eigen=eigen)
+    un = spectral.fft_poisson_periodic(f[:-1, :-1], dx, dy, eigen=eigen, mesh=mesh)
     row = un[:1, :]
     un_full = jnp.concatenate([un, row], axis=0)
     col = un_full[:, :1]
     return jnp.concatenate([un_full, col], axis=1)
 
 
-def solve_fst(f, dx: float, dy: float):
-    """Homogeneous-Dirichlet Poisson solve via DST-I on the interior."""
-    interior = spectral.fst_poisson_dirichlet(f[1:-1, 1:-1], dx, dy)
-    u = jnp.zeros_like(f)
-    return u.at[1:-1, 1:-1].set(interior)
+def solve_fst(f, dx: float, dy: float, mesh=None):
+    """Homogeneous-Dirichlet Poisson solve via DST-I on the interior.
+    (Boundary ring rebuilt with jnp.pad, not scatter — GSPMD-safe.)"""
+    interior = spectral.fst_poisson_dirichlet(f[1:-1, 1:-1], dx, dy, mesh=mesh)
+    return jnp.pad(interior, 1)
