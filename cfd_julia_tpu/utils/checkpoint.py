@@ -1,0 +1,37 @@
+"""Checkpoint / resume — a new (cheap) capability the reference lacks
+(SURVEY §5: "no restart capability" in the reference; solution snapshots
+only). Any pytree-of-arrays solver state saves to a single .npz and
+restores exactly; solvers are pure step functions, so resume is just
+"load state, keep stepping".
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def save_state(path: str, state, step: int | None = None):
+    """Save a pytree of arrays to .npz (flattened with treedef repr)."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    payload["__treedef__"] = np.asarray(str(treedef))
+    if step is not None:
+        payload["__step__"] = np.asarray(step)
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    np.savez(path, **payload)
+
+
+def load_state(path: str, like):
+    """Restore a pytree saved by save_state; `like` supplies the treedef.
+
+    Returns (state, step) where step is None if it was not recorded."""
+    data = np.load(path, allow_pickle=False)
+    _, treedef = jax.tree_util.tree_flatten(like)
+    n = len([k for k in data.files if k.startswith("leaf_")])
+    leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    step = int(data["__step__"]) if "__step__" in data.files else None
+    return state, step

@@ -1,0 +1,112 @@
+"""Framework surface: presets, runner outputs (reference-compatible text
+contract), checkpoint/resume, CLI."""
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_julia_tpu import presets, run
+from cfd_julia_tpu.utils import checkpoint
+
+
+def test_all_presets_resolve():
+    assert len(presets.PRESETS) >= 27  # 22 chapters + variants
+    for name, p in presets.PRESETS.items():
+        assert p.family in ("heat", "burgers", "euler", "poisson",
+                            "cavity", "vortex"), name
+
+
+def test_preset_override():
+    p = presets.with_overrides(presets.get("heat_ftcs"), nx=40)
+    assert p.cfg.nx == 40
+    assert presets.get("heat_ftcs").cfg.nx == 80
+
+
+def test_run_heat_preset_outputs(tmp_path):
+    m = run.run_preset("heat_ftcs", outdir=str(tmp_path))
+    assert m["l2_error"] < 2.1e-4
+    out = (tmp_path / "output.txt").read_text()
+    assert out.startswith("Error details:")
+    assert "L-2 Norm=" in out and "Maximum Norm=" in out
+    lines = (tmp_path / "field_final.csv").read_text().splitlines()
+    assert lines[0] == "x ue un uerror"
+    assert len(lines) == 82  # header + nx+1 nodes
+    metrics = json.loads((tmp_path / "metrics.json").read_text())
+    assert metrics["preset"] == "heat_ftcs"
+
+
+def test_run_burgers_preset_outputs(tmp_path):
+    m = run.run_preset("burgers_weno_dirichlet", outdir=str(tmp_path),
+                       nx=100, t_final=0.05)
+    sol = (tmp_path / "solution_d_100.txt").read_text().splitlines()
+    assert len(sol) == 101
+    assert len(sol[0].split()) == 11  # x + 10 snapshots
+
+
+def test_run_poisson_iterative_outputs(tmp_path):
+    m = run.run_preset("poisson_cg", outdir=str(tmp_path), nx=64, ny=64)
+    assert m["iterations"] > 0
+    hist = (tmp_path / "cg_residual.txt").read_text().splitlines()
+    assert len(hist) >= 1
+    it, rms, rel = hist[0].split()
+    assert int(it) > 0 and float(rel) <= 1.0
+
+
+def test_run_cavity_preset_outputs(tmp_path):
+    m = run.run_preset("cavity", outdir=str(tmp_path), t_final=0.5)
+    assert (tmp_path / "res_plot.txt").exists()
+    assert (tmp_path / "centerlines.txt").exists()
+    assert m["steady_rms"] > 0
+
+
+def test_run_tgv_preset(tmp_path):
+    m = run.run_preset("tgv", outdir=str(tmp_path))
+    assert m["l2_error"] < 8e-3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = (jnp.arange(12.0).reshape(3, 4), jnp.zeros(()),
+             {"a": jnp.ones(5)})
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_state(path, state, step=42)
+    restored, step = checkpoint.load_state(path, state)
+    assert step == 42
+    np.testing.assert_array_equal(np.asarray(restored[0]),
+                                  np.asarray(state[0]))
+    np.testing.assert_array_equal(np.asarray(restored[2]["a"]),
+                                  np.asarray(state[2]["a"]))
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Stop-and-resume reproduces an uninterrupted run bit-for-bit."""
+    from cfd_julia_tpu.models import heat1d
+    from cfd_julia_tpu.stepping import loop
+
+    cfg = heat1d.HeatConfig(scheme="rk3")
+    import jax
+
+    x, u0 = heat1d.initial_condition(cfg, jnp.float64)
+    step = heat1d.make_step_fn(cfg, jnp.float64)
+    full = loop.run_steps(step, u0, 100)
+    half = loop.run_steps(step, u0, 50)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_state(path, half, step=50)
+    resumed, s = checkpoint.load_state(path, half)
+    rest = loop.run_steps(step, resumed, 100 - s)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(rest))
+
+
+def test_cli_list_and_run(tmp_path, capsys):
+    from cfd_julia_tpu import cli
+
+    assert cli.main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "heat_ftcs" in out and "vortex_merger_ps23" in out
+
+    rc = cli.main(["run", "heat_cn", "--outdir", str(tmp_path),
+                   "--nx", "40", "--dt", "0.005"])
+    assert rc == 0
+    metrics = json.loads((tmp_path / "metrics.json").read_text())
+    assert metrics["preset"] == "heat_cn"
