@@ -124,16 +124,43 @@ def _spectral_consts(cfg: VortexConfig, dtype):
 
 def jacobian_hybrid(wf, k2, dx, dy, mesh=None):
     """-J(w, psi) computed in physical space with the Arakawa scheme, psi
-    from the spectrum (hybrid.jl:92-152)."""
+    from the spectrum (hybrid.jl:92-152).
+
+    Single-chip fast path: w and psi are real, so ONE complex ifft2 of
+    wf + i(wf/k2) recovers both (Hermitian packing), and the forward
+    transform of the real Jacobian goes through rfft2 + Hermitian mirror —
+    3 full c2c transforms become ~1.5."""
+    if mesh is None:
+        w, s = spectral.ifft2_pair(wf, wf / k2)
+        return spectral.fft2_real(-arakawa.jacobian(w, s, dx, dy))
     w = jnp.real(spectral.ifft2(wf, mesh))
     s = jnp.real(spectral.ifft2(wf / k2, mesh))
     return spectral.fft2(-arakawa.jacobian(w, s, dx, dy), mesh)
 
 
 def _deriv_spectra(wf, k2, kx, ky):
-    """psi_x, w_y, psi_y, w_x spectra (pseudospectral_32_rule.jl:113-122)."""
-    ikx = 1j * kx[:, None]
-    iky = 1j * ky[None, :]
+    """psi_x, w_y, psi_y, w_x spectra (pseudospectral_32_rule.jl:113-122).
+
+    Unlike the reference, the *multiplicative* wavenumbers zero (a) the
+    k=0 entry — the reference's eps=1e-6 guard there breaks exact Hermitian
+    symmetry and injects O(eps) noise (the guard is only needed for the
+    1/k^2 division, where k2 keeps it) — and (b) the Nyquist mode, whose
+    first derivative is not representable as a Hermitian (real-field)
+    spectrum; zeroing it is the standard pseudospectral convention."""
+    nx_, ny_ = kx.shape[0], ky.shape[0]
+    ix = jnp.arange(nx_)
+    iy = jnp.arange(ny_)
+    kx0 = jnp.where(ix == 0, 0.0, kx)
+    ky0 = jnp.where(iy == 0, 0.0, ky)
+    # drop the Nyquist row/column entirely: its placement under the 3/2-rule
+    # pad (one-sided negative block, pad_32) cannot be Hermitian
+    nyq = jnp.asarray(
+        ((nx_ % 2 != 0) | (ix != nx_ // 2))[:, None]
+        & ((ny_ % 2 != 0) | (iy != ny_ // 2))[None, :]
+    )
+    wf = wf * nyq
+    ikx = 1j * kx0[:, None]
+    iky = 1j * ky0[None, :]
     return ikx * wf / k2, iky * wf, iky * wf / k2, ikx * wf
 
 
@@ -143,13 +170,19 @@ def jacobian_ps32(wf, k2, kx, ky, nx, ny, mesh=None):
     evaluated on the 1.5x grid, truncated back."""
     nxe, nye = 3 * nx // 2, 3 * ny // 2
     scale = (nxe * nye) / (nx * ny)
-    specs = _deriv_spectra(wf, k2, kx, ky)
-    j1, j2, j3, j4 = (
-        jnp.real(spectral.ifft2(spectral.pad_32(s, nxe, nye) * scale, mesh))
-        for s in specs
-    )
-    jacp = j1 * j2 - j3 * j4
-    return spectral.truncate_32(spectral.fft2(jacp, mesh), nx, ny) / scale
+    specs = [spectral.pad_32(s, nxe, nye) * scale
+             for s in _deriv_spectra(wf, k2, kx, ky)]
+    if mesh is None:
+        # Hermitian packing: 4 inverse transforms -> 2 (batched), forward
+        # via rfft2 + mirror -> 5 padded c2c transforms become ~2.5
+        z = jnp.fft.ifft2(jnp.stack([specs[0] + 1j * specs[1],
+                                     specs[2] + 1j * specs[3]]))
+        jacp = z[0].real * z[0].imag - z[1].real * z[1].imag
+        jacpf = spectral.fft2_real(jacp)
+    else:
+        j1, j2, j3, j4 = (jnp.real(spectral.ifft2(s, mesh)) for s in specs)
+        jacpf = spectral.fft2(j1 * j2 - j3 * j4, mesh)
+    return spectral.truncate_32(jacpf, nx, ny) / scale
 
 
 def jacobian_ps23(wf, k2, kx, ky, nx, ny, mesh=None):
@@ -160,10 +193,20 @@ def jacobian_ps23(wf, k2, kx, ky, nx, ny, mesh=None):
     nxe, nye = (2 * nx) // 3, (2 * ny) // 3
     ix = jnp.arange(nx)
     iy = jnp.arange(ny)
-    keep_x = (ix < nxe // 2) | (ix >= nx - nxe // 2)
-    keep_y = (iy < nye // 2) | (iy >= ny - nye // 2)
+    # symmetric band |k| < nxe//2 (the reference's index range keeps one
+    # extra negative mode, pseudospectral_23_rule.jl:127-133 — that breaks
+    # the Hermitian symmetry of a real field's spectrum; the symmetric
+    # band is the standard 2/3 rule and differs only in that one mode)
+    keep_x = (ix < nxe // 2) | (ix > nx - nxe // 2)
+    keep_y = (iy < nye // 2) | (iy > ny - nye // 2)
     mask = keep_x[:, None] & keep_y[None, :]
-    specs = (s * mask for s in _deriv_spectra(wf, k2, kx, ky))
+    specs = [s * mask for s in _deriv_spectra(wf, k2, kx, ky)]
+    if mesh is None:
+        # Hermitian packing (see jacobian_ps32)
+        z = jnp.fft.ifft2(jnp.stack([specs[0] + 1j * specs[1],
+                                     specs[2] + 1j * specs[3]]))
+        return spectral.fft2_real(z[0].real * z[0].imag
+                                  - z[1].real * z[1].imag)
     j1, j2, j3, j4 = (jnp.real(spectral.ifft2(s, mesh)) for s in specs)
     return spectral.fft2(j1 * j2 - j3 * j4, mesh)
 

@@ -62,6 +62,38 @@ def ifft2(x, mesh=None):
     return jnp.fft.ifft(x, axis=-1)
 
 
+def hermitian_full(h, n: int):
+    """Rebuild the full (.., n, n) spectrum of a REAL field from its rfft2
+    half spectrum (.., n, n//2+1): full[i, j] = conj(h[(n-i)%n, n-j]) for
+    j > n/2. Pure flips/concats — far cheaper than the missing IRFFT."""
+    tail = jnp.conj(h[..., :, 1 : n - n // 2])       # j = 1..ceil(n/2)-1
+    tail = tail[..., :, ::-1]                          # -> j' = n-j ascending
+    tail = jnp.concatenate(
+        [tail[..., :1, :], tail[..., 1:, :][..., ::-1, :]], axis=-2
+    )                                                  # i -> (n-i) % n
+    return jnp.concatenate([h, tail], axis=-1)
+
+
+def fft2_real(x, mesh=None):
+    """Full FFT2 spectrum of a real field at ~half cost: rfft2 + Hermitian
+    mirror. (TPU backend has RFFT but no IRFFT; forward-only trick.)"""
+    n = x.shape[-1]
+    if mesh is not None:
+        return fft2(x.astype(complex_for(x.dtype)), mesh)
+    return hermitian_full(jnp.fft.rfft2(x), n)
+
+
+def complex_for(real_dtype):
+    return jnp.complex128 if jnp.dtype(real_dtype) == jnp.float64 else jnp.complex64
+
+
+def ifft2_pair(A, B, mesh=None):
+    """Inverse-transform two Hermitian spectra (of real fields) with ONE
+    complex ifft2: ifft2(A + iB) = a + ib elementwise for real a, b."""
+    z = ifft2(A + 1j * B, mesh)
+    return jnp.real(z), jnp.imag(z)
+
+
 def zero_mean_mode(e):
     """Zero the k=(0,0) Fourier mode via an elementwise mask (a scatter on
     an FFT output miscompiles under GSPMD on the CPU backend; the mask is
@@ -184,14 +216,15 @@ def fst_poisson_dirichlet(f_interior, dx: float, dy: float, mesh=None):
 # ------------------------------------------------------------- dealiasing
 
 def dealias_mask_23(nx: int, ny: int):
-    """2/3-rule mask, exact reference indexing
-    (pseudospectral_23_rule.jl:124-133): with ne = floor(2n/3), keep index
-    rows i < ne//2 or i >= n - ne//2 (and likewise columns)."""
+    """Symmetric 2/3-rule mask: with ne = floor(2n/3), keep |k| < ne//2.
+    (The reference's index range, pseudospectral_23_rule.jl:124-133, keeps
+    one extra negative mode, which breaks Hermitian symmetry of real-field
+    spectra; the symmetric band is the standard rule.)"""
     nxe, nye = (2 * nx) // 3, (2 * ny) // 3
     ix = jnp.arange(nx)
     iy = jnp.arange(ny)
-    keep_x = (ix < nxe // 2) | (ix >= nx - nxe // 2)
-    keep_y = (iy < nye // 2) | (iy >= ny - nye // 2)
+    keep_x = (ix < nxe // 2) | (ix > nx - nxe // 2)
+    keep_y = (iy < nye // 2) | (iy > ny - nye // 2)
     return keep_x[:, None] & keep_y[None, :]
 
 
