@@ -15,6 +15,13 @@ Reference parity notes:
   text files every `freq` iterations (gauss_seidel.jl:41-47,
   conjugate_gradient.jl:64-71). Here a preallocated on-device buffer is
   filled at the same cadence and returned.
+
+TPU-native formulation: every sweep is roll-shift + mask elementwise math
+on the FULL (nx+1, ny+1) array — no scatters. (A masked
+`.at[1:-1,1:-1].add` scatter costs ~6.5x more than the roll form on TPU at
+4096^2: 25.5 ms vs 3.9 ms per red-black sweep.) Boundary garbage from the
+periodic rolls is killed by the interior mask, so Dirichlet boundary
+values are preserved exactly.
 """
 from __future__ import annotations
 
@@ -24,8 +31,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-
-from cfd_julia_tpu.ops import norms
 
 
 @jax.tree_util.register_dataclass
@@ -39,42 +44,52 @@ class IterativeResult:
     n_records: jax.Array
 
 
-def _interior_residual(f, u, dx, dy):
-    return f[1:-1, 1:-1] - (
-        (u[2:, 1:-1] - 2 * u[1:-1, 1:-1] + u[:-2, 1:-1]) / dx**2
-        + (u[1:-1, 2:] - 2 * u[1:-1, 1:-1] + u[1:-1, :-2]) / dy**2
+def _lap_roll(u, dx, dy):
+    """5-point Laplacian via rolls (edge rows invalid -> mask them)."""
+    return (
+        (jnp.roll(u, -1, 0) - 2 * u + jnp.roll(u, 1, 0)) / dx**2
+        + (jnp.roll(u, -1, 1) - 2 * u + jnp.roll(u, 1, 1)) / dy**2
     )
 
 
-def _rms_interior(r_int):
-    """Matches compute_l2norm over interior nodes (Common.jl:229-232):
-    r_int is the (nx-1, ny-1) interior block of an (nx+1, ny+1) field."""
-    return jnp.sqrt(jnp.sum(r_int**2) / (r_int.shape[0] * r_int.shape[1]))
+def interior_mask(nx: int, ny: int, dtype):
+    i = jnp.arange(nx + 1)
+    j = jnp.arange(ny + 1)
+    m = ((i > 0) & (i < nx))[:, None] & ((j > 0) & (j < ny))[None, :]
+    return m.astype(dtype)
 
 
-def jacobi_sweep(u, f, dx: float, dy: float):
+def color_masks(nx: int, ny: int, dtype):
+    """(red, black) interior checkerboard masks, full (nx+1, ny+1) size."""
+    i = jnp.arange(nx + 1)
+    j = jnp.arange(ny + 1)
+    par = (i[:, None] + j[None, :]) % 2
+    inter = interior_mask(nx, ny, dtype)
+    return inter * (par == 0), inter * (par == 1)
+
+
+def residual_full(f, u, dx, dy, mask):
+    """r = (f - lap u) on the interior, 0 on the boundary ring."""
+    return (f - _lap_roll(u, dx, dy)) * mask
+
+
+def _rms_from_full(r_full, nx, ny):
+    """Matches compute_l2norm over interior nodes (Common.jl:229-232)."""
+    return jnp.sqrt(jnp.sum(r_full**2) / ((nx - 1) * (ny - 1)))
+
+
+def jacobi_sweep(u, f, dx: float, dy: float, mask):
     """One point-Jacobi update (gauss_seidel.jl:33-39)."""
-    r = _interior_residual(f, u, dx, dy)
-    return u.at[1:-1, 1:-1].add(r / (-2.0 / dx**2 - 2.0 / dy**2))
+    r = residual_full(f, u, dx, dy, mask)
+    return u + r / (-2.0 / dx**2 - 2.0 / dy**2)
 
 
 def redblack_sweep(u, f, dx: float, dy: float, mask_red, mask_black):
     """One red-black Gauss-Seidel sweep: two masked half-updates; the black
     half sees the freshly updated red values (data-parallel true GS)."""
     diag = -2.0 / dx**2 - 2.0 / dy**2
-    r = _interior_residual(f, u, dx, dy)
-    u = u.at[1:-1, 1:-1].add(jnp.where(mask_red, r / diag, 0.0))
-    r = _interior_residual(f, u, dx, dy)
-    return u.at[1:-1, 1:-1].add(jnp.where(mask_black, r / diag, 0.0))
-
-
-def interior_masks(nx: int, ny: int, dtype=jnp.bool_):
-    """Checkerboard masks for the (nx-1, ny-1) interior of a node grid,
-    coloured by global node parity (i + j)."""
-    i = jnp.arange(1, nx)[:, None]
-    j = jnp.arange(1, ny)[None, :]
-    red = ((i + j) % 2 == 0)
-    return red.astype(dtype), (~red).astype(dtype)
+    u = u + residual_full(f, u, dx, dy, mask_red) / diag
+    return u + residual_full(f, u, dx, dy, mask_black) / diag
 
 
 @partial(jax.jit, static_argnames=("method", "max_iter", "freq", "dx", "dy"))
@@ -93,17 +108,17 @@ def relax_solve(
     Runs `freq` sweeps per convergence check, exactly the reference cadence
     (gauss_seidel.jl:41-47 with freq=10_000)."""
     nx, ny = f.shape[0] - 1, f.shape[1] - 1
+    mask = interior_mask(nx, ny, f.dtype)
     if method == "jacobi":
-        sweep = lambda u: jacobi_sweep(u, f, dx, dy)
+        sweep = lambda u: jacobi_sweep(u, f, dx, dy, mask)
     elif method == "redblack":
-        mr, mb = interior_masks(nx, ny)
+        mr, mb = color_masks(nx, ny, f.dtype)
         sweep = lambda u: redblack_sweep(u, f, dx, dy, mr, mb)
     else:
         raise ValueError(f"unknown relaxation {method!r}")
 
     max_records = max(1, max_iter // freq) + 1
-    r0 = _interior_residual(f, u0, dx, dy)
-    rms0 = _rms_interior(r0)
+    rms0 = _rms_from_full(residual_full(f, u0, dx, dy, mask), nx, ny)
     hist0 = jnp.full((max_records, 3), jnp.nan, f.dtype)
 
     def cond(c):
@@ -114,7 +129,7 @@ def relax_solve(
         u, it, rms, hist, nrec = c
         u = lax.fori_loop(0, freq, lambda _, uu: sweep(uu), u)
         it = it + freq
-        rms = _rms_interior(_interior_residual(f, u, dx, dy))
+        rms = _rms_from_full(residual_full(f, u, dx, dy, mask), nx, ny)
         rec = jnp.stack([it.astype(f.dtype), rms, rms / rms0])
         hist = lax.dynamic_update_slice(hist, rec[None], (nrec, 0))
         return (u, it, rms, hist, nrec + 1)
@@ -140,17 +155,12 @@ def cg_solve(
     5-point Laplacian is applied as a stencil, convergence on rms/rms0,
     history recorded every `freq` iterations."""
     eps = 1e-16
-    r0_int = _interior_residual(f, u0, dx, dy)
-    rms0 = _rms_interior(r0_int)
-    r_full0 = jnp.zeros_like(f).at[1:-1, 1:-1].set(r0_int)
+    nx, ny = f.shape[0] - 1, f.shape[1] - 1
+    mask = interior_mask(nx, ny, f.dtype)
+    r0 = residual_full(f, u0, dx, dy, mask)
+    rms0 = _rms_from_full(r0, nx, ny)
     max_records = max(1, max_iter // freq) + 1
     hist0 = jnp.full((max_records, 3), jnp.nan, f.dtype)
-
-    def lap_interior(p):
-        return (
-            (p[2:, 1:-1] - 2 * p[1:-1, 1:-1] + p[:-2, 1:-1]) / dx**2
-            + (p[1:-1, 2:] - 2 * p[1:-1, 1:-1] + p[1:-1, :-2]) / dy**2
-        )
 
     def cond(c):
         u, r, p, it, rms, hist, nrec = c
@@ -159,15 +169,15 @@ def cg_solve(
     def body(c):
         u, r, p, it, rms, hist, nrec = c
         it = it + 1
-        ap = lap_interior(p)
-        rr = jnp.sum(r[1:-1, 1:-1] ** 2)
-        alpha = rr / (jnp.sum(ap * p[1:-1, 1:-1]) + eps)
-        u = u.at[1:-1, 1:-1].add(alpha * p[1:-1, 1:-1])
-        r = r.at[1:-1, 1:-1].add(-alpha * ap)
-        rr_new = jnp.sum(r[1:-1, 1:-1] ** 2)
+        ap = _lap_roll(p, dx, dy) * mask
+        rr = jnp.sum(r**2)
+        alpha = rr / (jnp.sum(ap * p) + eps)
+        u = u + alpha * p          # p is 0 on the boundary ring
+        r = r - alpha * ap
+        rr_new = jnp.sum(r**2)
         beta = rr_new / (rr + eps)
-        p = r + beta * p  # boundaries stay 0: r and p start 0 there
-        rms = jnp.sqrt(rr_new / ((f.shape[0] - 2) * (f.shape[1] - 2)))
+        p = r + beta * p
+        rms = jnp.sqrt(rr_new / ((nx - 1) * (ny - 1)))
         rec = jnp.stack([it.astype(f.dtype), rms, rms / rms0])
         do_rec = (it % freq) == 0
         hist = lax.cond(
@@ -179,7 +189,7 @@ def cg_solve(
         nrec = nrec + do_rec.astype(nrec.dtype)
         return (u, r, p, it, rms, hist, nrec)
 
-    init = (u0, r_full0, r_full0, jnp.array(0), rms0, hist0, jnp.array(0))
+    init = (u0, r0, r0, jnp.array(0), rms0, hist0, jnp.array(0))
     u, r, p, it, rms, hist, nrec = lax.while_loop(cond, body, init)
     return IterativeResult(u=u, iterations=it, rms=rms, rms0=rms0,
                            history=hist, n_records=nrec)

@@ -3,7 +3,7 @@
 Reference: 17_Poisson_Solver_Multigrid/mg.jl (2-level) and mg_N.jl
 (N-level, the general case this module implements). Transfer operators are
 full-weighting restriction (Common.jl:21-48) and bilinear prolongation
-(Common.jl:50-76), vectorized as strided-slice arithmetic.
+(Common.jl:50-76).
 
 TPU-native deviations from the reference:
 * The smoother is red-black Gauss-Seidel (two data-parallel half-sweeps)
@@ -14,6 +14,10 @@ TPU-native deviations from the reference:
 * The level pyramid is static (shapes fixed at trace time); the V-cycle is
   Python-unrolled inside a single `lax.while_loop`, convergence checked
   on-device once per cycle — zero host round-trips.
+* No scatters anywhere: sweeps are roll+mask elementwise math
+  (poisson.iterative), restriction assembles by concatenation, and
+  prolongation interleaves by stack+reshape (TPU scatters are ~6.5x
+  slower than the equivalent dataflow ops at 4096^2).
 """
 from __future__ import annotations
 
@@ -26,18 +30,17 @@ from jax import lax
 
 from cfd_julia_tpu.poisson.iterative import (
     IterativeResult,
-    _interior_residual,
-    _rms_interior,
-    interior_masks,
+    _rms_from_full,
+    color_masks,
+    interior_mask,
     redblack_sweep,
+    residual_full,
 )
 
 
 def restriction(r):
     """Full-weighting fine -> coarse transfer on node-centred grids
     (Common.jl:21-48). r: (nxf+1, nyf+1) -> (nxf//2+1, nyf//2+1)."""
-    nxf, nyf = r.shape[0] - 1, r.shape[1] - 1
-    nxc, nyc = nxf // 2, nyf // 2
     # interior coarse nodes I=1..nxc-1 live at fine nodes 2I
     c = r[2:-2:2, 2:-2:2]
     e = r[3:-1:2, 2:-2:2] + r[1:-3:2, 2:-2:2]
@@ -47,29 +50,32 @@ def restriction(r):
         + r[1:-3:2, 3:-1:2] + r[1:-3:2, 1:-3:2]
     )
     interior = (4.0 * c + 2.0 * (e + f_) + corners) / 16.0
-    ec = jnp.zeros((nxc + 1, nyc + 1), r.dtype)
-    ec = ec.at[1:-1, 1:-1].set(interior)
     # boundary rows/cols: direct injection of coincident fine nodes
-    ec = ec.at[0, :].set(r[0, ::2])
-    ec = ec.at[-1, :].set(r[-1, ::2])
-    ec = ec.at[:, 0].set(r[::2, 0])
-    ec = ec.at[:, -1].set(r[::2, -1])
-    return ec
+    mid = jnp.concatenate(
+        [r[2:-2:2, :1], interior, r[2:-2:2, -1:]], axis=1
+    )
+    return jnp.concatenate([r[:1, ::2], mid, r[-1:, ::2]], axis=0)
+
+
+def _interleave(a, b, axis):
+    """c with c[.., ::2, ..] = a (n+1 slices) and c[.., 1::2, ..] = b (n)."""
+    a_main = jax.lax.slice_in_dim(a, 0, a.shape[axis] - 1, axis=axis)
+    stacked = jnp.stack([a_main, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] = 2 * b.shape[axis]
+    out = stacked.reshape(shape)
+    last = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis], axis=axis)
+    return jnp.concatenate([out, last], axis=axis)
 
 
 def prolongation(uc):
-    """Bilinear coarse -> fine transfer (Common.jl:50-76).
-    uc: (nxc+1, nyc+1) -> (2nxc+1, 2nyc+1)."""
-    nxc, nyc = uc.shape[0] - 1, uc.shape[1] - 1
-    nxf, nyf = 2 * nxc, 2 * nyc
-    ef = jnp.zeros((nxf + 1, nyf + 1), uc.dtype)
-    ef = ef.at[::2, ::2].set(uc)                                   # injection
-    ef = ef.at[::2, 1::2].set(0.5 * (uc[:, :-1] + uc[:, 1:]))      # E midpoints
-    ef = ef.at[1::2, ::2].set(0.5 * (uc[:-1, :] + uc[1:, :]))      # N midpoints
-    ef = ef.at[1::2, 1::2].set(
-        0.25 * (uc[:-1, :-1] + uc[:-1, 1:] + uc[1:, :-1] + uc[1:, 1:])
-    )
-    return ef
+    """Bilinear coarse -> fine transfer (Common.jl:50-76), built by
+    stack+reshape interleaving. uc: (nxc+1, nyc+1) -> (2nxc+1, 2nyc+1)."""
+    row_even = _interleave(uc, 0.5 * (uc[:, :-1] + uc[:, 1:]), axis=1)
+    mid_c = 0.5 * (uc[:-1, :] + uc[1:, :])
+    mid_e = 0.25 * (uc[:-1, :-1] + uc[:-1, 1:] + uc[1:, :-1] + uc[1:, 1:])
+    row_odd = _interleave(mid_c, mid_e, axis=1)
+    return _interleave(row_even, row_odd, axis=0)
 
 
 def smooth(u, f, dx: float, dy: float, iters: int, masks):
@@ -104,7 +110,7 @@ def _build_levels(nx, ny, dx, dy, n_levels):
     return levels
 
 
-def v_cycle(u, f, levels, masks, cfg: MGConfig):
+def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig):
     """One V-cycle over the static level pyramid (mg_N.jl:53-106)."""
     n = len(levels)
     nx0, ny0, dx0, dy0 = levels[0]
@@ -115,9 +121,7 @@ def v_cycle(u, f, levels, masks, cfg: MGConfig):
     us = [u]
     for k in range(1, n):
         nxp, nyp, dxp, dyp = levels[k - 1]
-        r = jnp.zeros_like(us[k - 1]).at[1:-1, 1:-1].set(
-            _interior_residual(fs[k - 1], us[k - 1], dxp, dyp)
-        )
+        r = residual_full(fs[k - 1], us[k - 1], dxp, dyp, imasks[k - 1])
         fk = restriction(r)
         nxk, nyk, dxk, dyk = levels[k]
         uk = jnp.zeros((nxk + 1, nyk + 1), u.dtype)
@@ -129,9 +133,10 @@ def v_cycle(u, f, levels, masks, cfg: MGConfig):
     # ascend: prolongate -> correct -> relax
     for k in range(n - 1, 0, -1):
         nxp, nyp, dxp, dyp = levels[k - 1]
-        corr = prolongation(us[k])
-        us[k - 1] = us[k - 1].at[1:-1, 1:-1].add(corr[1:-1, 1:-1])
-        us[k - 1] = smooth(us[k - 1], fs[k - 1], dxp, dyp, cfg.v3, masks[k - 1])
+        corr = prolongation(us[k]) * imasks[k - 1]
+        us[k - 1] = us[k - 1] + corr
+        us[k - 1] = smooth(us[k - 1], fs[k - 1], dxp, dyp, cfg.v3,
+                           masks[k - 1])
     return us[0]
 
 
@@ -141,9 +146,11 @@ def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeR
     history recorded once per cycle on-device."""
     nx, ny = f.shape[0] - 1, f.shape[1] - 1
     levels = _build_levels(nx, ny, dx, dy, cfg.n_levels)
-    masks = [interior_masks(l[0], l[1]) for l in levels]
+    masks = [color_masks(l[0], l[1], f.dtype) for l in levels]
+    imasks = [interior_mask(l[0], l[1], f.dtype) for l in levels]
 
-    rms0 = _rms_interior(_interior_residual(f, u0, dx, dy))
+    mask0 = imasks[0]
+    rms0 = _rms_from_full(residual_full(f, u0, dx, dy, mask0), nx, ny)
     hist0 = jnp.full((cfg.max_cycles + 1, 3), jnp.nan, f.dtype)
 
     def cond(c):
@@ -152,9 +159,9 @@ def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeR
 
     def body(c):
         u, it, rms, hist, nrec = c
-        u = v_cycle(u, f, levels, masks, cfg)
+        u = v_cycle(u, f, levels, masks, imasks, cfg)
         it = it + 1
-        rms = _rms_interior(_interior_residual(f, u, dx, dy))
+        rms = _rms_from_full(residual_full(f, u, dx, dy, mask0), nx, ny)
         rec = jnp.stack([it.astype(f.dtype), rms, rms / rms0])
         hist = lax.dynamic_update_slice(hist, rec[None], (nrec, 0))
         return (u, it, rms, hist, nrec + 1)
