@@ -70,6 +70,25 @@ def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=jnp.float32):
     return sps
 
 
+def bench_multigrid(nx: int = 4096, cycles: int = 10, dtype=jnp.float32):
+    """North-star secondary: 4096^2 multigrid Poisson wall-clock (fixed
+    10 V-cycles, which reach the fp32 residual floor ~2.7e-6 rel)."""
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    mgc = multigrid.MGConfig(tol=1e-30, max_cycles=cycles)
+    cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="multigrid",
+                                  problem="poly", mg=mgc)
+    _, _, _, _, ue, f = poisson2d.build_problem(cfg, dtype)
+    u0 = poisson2d._dirichlet_init(ue)
+    res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)  # compile
+    float(res.rms)
+    t0 = time.perf_counter()
+    res = multigrid.solve(f * (1.0 + 1e-6), u0, cfg.dx, cfg.dy, cfg=mgc)
+    float(res.rms)
+    return time.perf_counter() - t0
+
+
 def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -82,6 +101,12 @@ def main():
               file=sys.stderr)
     except Exception as e:  # secondary metric must not break the headline
         print(f"# pseudospectral bench failed: {e}", file=sys.stderr)
+    try:
+        mg_s = bench_multigrid()
+        print(f"# multigrid 4096^2 fp32, 10 V-cycles: {mg_s:.3f} s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# multigrid bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "cavity_1024_steps_per_sec",

