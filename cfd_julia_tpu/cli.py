@@ -108,6 +108,137 @@ def cmd_validate(_args):
     return 0 if ok else 1
 
 
+def cmd_run_all(args):
+    """run.sh parity: execute every preset (scaled down unless --full)."""
+    import os
+
+    from cfd_julia_tpu import presets, run
+
+    quick = {
+        # heavy presets get reduced settings in quick mode
+        "burgers_crweno_dirichlet": {"nx": 400},
+        "burgers_crweno_periodic": {"nx": 400},
+        "euler_hllc": {"nx": 1024, "dt": 2e-4},
+        "euler_rusanov": {"nx": 1024, "dt": 2e-4},
+        "poisson_jacobi": {"nx": 128, "ny": 128, "max_iter": 200_000},
+        "poisson_gs_redblack": {"nx": 128, "ny": 128, "max_iter": 200_000},
+        "poisson_cg": {"nx": 256, "ny": 256},
+        "cavity": {"t_final": 2.0},
+        "vortex_merger_fdm": {"t_final": 4.0},
+        "vortex_merger_hybrid": {"t_final": 4.0},
+        "vortex_merger_ps32": {"t_final": 4.0},
+        "vortex_merger_ps23": {"t_final": 4.0},
+    }
+    failures = []
+    for name in sorted(presets.PRESETS):
+        overrides = {} if args.full else quick.get(name, {})
+        outdir = os.path.join(args.outdir, name)
+        try:
+            m = run.run_preset(name, outdir=outdir, **overrides)
+            print(f"OK   {name:28s} {m.get('wall_time_s', 0):.2f}s")
+        except Exception as e:  # keep going, report at the end
+            failures.append((name, str(e)))
+            print(f"FAIL {name:28s} {e}")
+    print(f"run-all: {len(presets.PRESETS) - len(failures)}/"
+          f"{len(presets.PRESETS)} presets OK")
+    return 1 if failures else 0
+
+
+def cmd_order(args):
+    """Convergence-order study (06_.../order.jl, 13_.../order.jl)."""
+    import os
+
+    import numpy as np
+
+    from cfd_julia_tpu.utils import plotting
+
+    os.makedirs(args.outdir, exist_ok=True)
+    ns = [int(v) for v in args.grids.split(",")]
+    errs = []
+    if args.family == "heat":
+        from cfd_julia_tpu.models import heat1d
+
+        for n in ns:
+            cfg = heat1d.HeatConfig(nx=n, dt=min(0.0025, 0.1 / n**2),
+                                    t_final=0.1, scheme=args.scheme)
+            errs.append(float(heat1d.solve(cfg).l2_error))
+    elif args.family == "poisson":
+        from cfd_julia_tpu.models import poisson2d
+
+        for n in ns:
+            cfg = poisson2d.PoissonConfig(nx=n, ny=n, solver=args.scheme,
+                                          problem="sine32")
+            errs.append(float(poisson2d.solve(cfg).l2_error))
+    elif args.family == "burgers":
+        from cfd_julia_tpu.models import burgers1d
+
+        for n in ns:
+            cfg = burgers1d.BurgersConfig(nx=n, solver=args.scheme,
+                                          bc="periodic", dt=5e-5,
+                                          t_final=0.05, ns=1)
+            res = burgers1d.solve(cfg)
+            u = np.sin(2 * np.pi * np.asarray(res.x))
+            for _ in range(60):
+                u = np.sin(2 * np.pi * (np.asarray(res.x) - u * 0.05))
+            errs.append(float(np.sqrt(np.mean((np.asarray(res.u) - u) ** 2))))
+    else:
+        print(f"unknown family {args.family}")
+        return 2
+    orders = plotting.observed_orders(ns, errs)
+    with open(os.path.join(args.outdir, "order.txt"), "w") as fh:
+        for n, e in zip(ns, errs):
+            fh.write(f"{n} {e!r}\n")
+        fh.write("# observed orders: " +
+                 " ".join(f"{p:.2f}" for p in orders) + "\n")
+    plotting.convergence_order(
+        ns, errs, os.path.join(args.outdir, "order.png"),
+        slope_guides=(2, 4) if args.family == "heat" else (2,),
+    )
+    print("grids:", ns)
+    print("errors:", errs)
+    print("observed orders:", [round(float(p), 2) for p in orders])
+    return 0
+
+
+def cmd_plot(args):
+    """Generate the reference's figures from a run directory."""
+    import os
+
+    from cfd_julia_tpu.utils import plotting
+
+    d = args.rundir
+    made = []
+    if os.path.exists(os.path.join(d, "field_final.csv")):
+        plotting.heat_final(os.path.join(d, "field_final.csv"),
+                            os.path.join(d, "field_final.png"))
+        made.append("field_final.png")
+    for fn in os.listdir(d):
+        if fn.startswith("solution_") and fn.endswith(".txt") \
+                and fn not in ("solution_d.txt", "solution_v.txt",
+                               "solution_e.txt"):
+            plotting.burgers_history(os.path.join(d, fn),
+                                     os.path.join(d, fn[:-4] + ".png"))
+            made.append(fn[:-4] + ".png")
+    if os.path.exists(os.path.join(d, "solution_d.txt")):
+        plotting.sod_profiles(d, os.path.join(d, "sod.png"),
+                              true_dir=args.true_dir)
+        made.append("sod.png")
+    if os.path.exists(os.path.join(d, "field_final.txt")):
+        plotting.field_contours(os.path.join(d, "field_final.txt"),
+                                os.path.join(d, "contours.png"))
+        made.append("contours.png")
+    hists = {
+        fn[:-len("_residual.txt")]: os.path.join(d, fn)
+        for fn in os.listdir(d) if fn.endswith("_residual.txt")
+    }
+    if hists:
+        plotting.residual_comparison(
+            hists, os.path.join(d, "residuals.png"))
+        made.append("residuals.png")
+    print("wrote:", ", ".join(made) if made else "(nothing to plot)")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="cfd_julia_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -119,6 +250,18 @@ def main(argv=None):
     pb.add_argument("--nx", type=int, default=0)
     pb.add_argument("--steps", type=int, default=200)
     sub.add_parser("validate")
+    pa = sub.add_parser("run-all")
+    pa.add_argument("--outdir", default="out")
+    pa.add_argument("--full", action="store_true",
+                    help="full reference configs (slow)")
+    po = sub.add_parser("order")
+    po.add_argument("family", choices=["heat", "burgers", "poisson"])
+    po.add_argument("--scheme", default=None)
+    po.add_argument("--grids", default="32,64,128,256")
+    po.add_argument("--outdir", default="out")
+    pp = sub.add_parser("plot")
+    pp.add_argument("rundir")
+    pp.add_argument("--true-dir", default=None)
 
     args, extra = parser.parse_known_args(argv)
     if args.cmd == "list":
@@ -129,6 +272,15 @@ def main(argv=None):
         return cmd_bench(args)
     if args.cmd == "validate":
         return cmd_validate(args)
+    if args.cmd == "run-all":
+        return cmd_run_all(args)
+    if args.cmd == "order":
+        if args.scheme is None:
+            args.scheme = {"heat": "cn", "burgers": "weno",
+                           "poisson": "fft"}[args.family]
+        return cmd_order(args)
+    if args.cmd == "plot":
+        return cmd_plot(args)
     return 2
 
 
