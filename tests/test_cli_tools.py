@@ -1,0 +1,50 @@
+"""CLI order study, plot generation, and writer round-trips."""
+import os
+
+import numpy as np
+
+from cfd_julia_tpu import cli, run
+from cfd_julia_tpu.utils import plotting
+
+
+def test_order_study_heat_icp(tmp_path, capsys):
+    rc = cli.main(["order", "heat", "--scheme", "icp",
+                   "--grids", "20,40,80", "--outdir", str(tmp_path)])
+    assert rc == 0
+    txt = (tmp_path / "order.txt").read_text()
+    orders = [float(v) for v in txt.splitlines()[-1].split(":")[1].split()]
+    assert all(p > 3.5 for p in orders), orders
+    assert (tmp_path / "order.png").exists()
+
+
+def test_plot_cavity_and_heat(tmp_path):
+    d1 = tmp_path / "cav"
+    run.run_preset("cavity", outdir=str(d1), t_final=0.2)
+    assert cli.main(["plot", str(d1)]) == 0
+    assert (d1 / "contours.png").exists()
+
+    d2 = tmp_path / "heat"
+    run.run_preset("heat_cn", outdir=str(d2))
+    assert cli.main(["plot", str(d2)]) == 0
+    assert (d2 / "field_final.png").exists()
+
+
+def test_plot_residual_comparison(tmp_path):
+    d = tmp_path / "cg"
+    run.run_preset("poisson_cg", outdir=str(d), nx=64, ny=64)
+    assert cli.main(["plot", str(d)]) == 0
+    assert (d / "residuals.png").exists()
+
+
+def test_observed_orders_helper():
+    ns = [32, 64, 128]
+    errs = [1e-2, 2.5e-3, 6.25e-4]
+    p = plotting.observed_orders(ns, errs)
+    np.testing.assert_allclose(p, [2.0, 2.0])
+
+
+def test_sod_plot(tmp_path):
+    d = tmp_path / "sod"
+    run.run_preset("euler_roe", outdir=str(d), nx=128, dt=2e-4)
+    assert cli.main(["plot", str(d)]) == 0
+    assert (d / "sod.png").exists()
