@@ -62,9 +62,10 @@ class EulerResult:
 def sod_initial_state(cfg: EulerConfig, dtype):
     x = (jnp.arange(cfg.nx, dtype=dtype) + 0.5) * cfg.dx
     right = x > cfg.x_diaphragm
-    rho = jnp.where(right, cfg.rho_r, cfg.rho_l)
-    u = jnp.where(right, cfg.u_r, cfg.u_l)
-    p = jnp.where(right, cfg.p_r, cfg.p_l)
+    one = jnp.asarray(1.0, dtype)  # pin dtype (where() of python floats
+    rho = jnp.where(right, cfg.rho_r * one, cfg.rho_l * one)  # is weak f64)
+    u = jnp.where(right, cfg.u_r * one, cfg.u_l * one)
+    p = jnp.where(right, cfg.p_r * one, cfg.p_l * one)
     e = p / (rho * (cfg.gamma - 1.0)) + 0.5 * u**2
     q = jnp.stack([rho, rho * u, rho * e])
     return x, q
