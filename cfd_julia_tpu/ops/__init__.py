@@ -1,1 +1,10 @@
-from cfd_julia_tpu.ops import norms, stencil, tridiag  # noqa: F401
+from cfd_julia_tpu.ops import (  # noqa: F401
+    arakawa,
+    crweno,
+    norms,
+    riemann,
+    spectral,
+    stencil,
+    tridiag,
+    weno,
+)
