@@ -56,6 +56,7 @@ class HeatResult:
     u_exact: jax.Array
     l2_error: jax.Array
     linf_error: jax.Array
+    history: jax.Array | None = None  # (nt+1, nx+1) when requested
 
 
 def initial_condition(cfg: HeatConfig, dtype):
@@ -147,15 +148,24 @@ def make_step_fn(cfg: HeatConfig, dtype):
     raise ValueError(f"unknown heat scheme {cfg.scheme!r}")
 
 
-def solve(cfg: HeatConfig, dtype=None) -> HeatResult:
+def solve(cfg: HeatConfig, dtype=None, keep_history: bool = False) -> HeatResult:
+    """keep_history=True also returns the full (nt+1, nx+1) time history,
+    matching the reference's `un[(nx+1) x (nt+1)]` storage (ftcs.jl:21) —
+    opt-in here (device-resident scan stack) rather than always-on."""
     dtype = dtype or precision.default_dtype()
     x, u0 = initial_condition(cfg, dtype)
     step = make_step_fn(cfg, dtype)
-    u = loop.run_steps(step, u0, cfg.nt)
+    history = None
+    if keep_history:
+        u, hist = loop.run_steps_with_snapshots(step, u0, cfg.nt, 1)
+        history = jnp.concatenate([u0[None], hist], axis=0)
+    else:
+        u = loop.run_steps(step, u0, cfg.nt)
     ue = exact_solution(x, cfg.t_final)
     err = u - ue
     return HeatResult(
         x=x, u=u, u_exact=ue,
         l2_error=norms.l2norm_interior(err),
         linf_error=norms.linf(err),
+        history=history,
     )

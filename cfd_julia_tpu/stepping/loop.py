@@ -25,6 +25,24 @@ def run_steps(step_fn, state, nt: int):
     return final
 
 
+def run_steps_with_checkpoints(step_fn, state, nt: int, every: int,
+                               path: str, start_step: int = 0):
+    """Advance nt steps, saving a resumable on-disk checkpoint every
+    `every` steps (crash recovery — a capability the reference lacks,
+    SURVEY §5). Device-resident within each chunk; one host sync per
+    checkpoint. Resume with utils.checkpoint.load_state + this function."""
+    from cfd_julia_tpu.utils import checkpoint
+
+    done = 0
+    while done < nt:
+        chunk = min(every, nt - done)
+        state = run_steps(step_fn, state, chunk)
+        done += chunk
+        jax.block_until_ready(state)
+        checkpoint.save_state(path, state, step=start_step + done)
+    return state
+
+
 @partial(jax.jit, static_argnames=("step_fn", "nt", "every", "observe"))
 def run_steps_with_snapshots(step_fn, state, nt: int, every: int, observe=None):
     """Advance nt steps, stacking `observe(state)` every `every` steps.
