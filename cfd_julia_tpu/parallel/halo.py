@@ -108,6 +108,49 @@ def make_distributed_vorticity_rhs(mesh: Mesh, dx: float, dy: float,
     )
 
 
+def halo_exchange_1d_periodic(ul, axis_name: str, n_dev: int, width: int):
+    """Pad a local 1D block with `width` ring-neighbour values per side."""
+    hi_edge = ul[..., -width:]
+    lo_edge = ul[..., :width]
+    if n_dev > 1:
+        lo_halo = lax.ppermute(hi_edge, axis_name, _ring_perm(n_dev, 1))
+        hi_halo = lax.ppermute(lo_edge, axis_name, _ring_perm(n_dev, -1))
+    else:
+        lo_halo, hi_halo = hi_edge, lo_edge
+    return jnp.concatenate([lo_halo, ul, hi_halo], axis=-1)
+
+
+def make_distributed_burgers_weno_rhs(mesh: Mesh, dx: float,
+                                      axis_name: str | None = None):
+    """shard_map'd periodic WENO-5 Burgers RHS over a 1D-decomposed line:
+    one width-3 halo exchange, then full local reconstruction of both
+    edge-state families and the upwind derivative
+    (weno_periodic.jl:58-68 semantics; cf. models.burgers1d
+    ._rhs_upwind_periodic for the single-device form)."""
+    from cfd_julia_tpu.ops import weno
+
+    axis_name = axis_name or mesh.axis_names[0]
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    spec = P(axis_name)
+
+    def local_rhs(ul):
+        n = ul.shape[-1]
+        up = halo_exchange_1d_periodic(ul, axis_name, n_dev, 3)
+        # uL[j] for j=-1..n-1: stencil u_{j-2..j+2} -> pad idx k..k+n
+        vL = [up[..., k : k + n + 1] for k in range(5)]
+        uL = weno.weno5_L(*vL)
+        # uR[j] for j=0..n: pad idx 1+k..1+k+n
+        vR = [up[..., 1 + k : 1 + k + n + 1] for k in range(5)]
+        uR = weno.weno5_R(*vR)
+        dpos = (uL[..., 1:] - uL[..., :-1]) / dx
+        dneg = (uR[..., 1:] - uR[..., :-1]) / dx
+        return -ul * jnp.where(ul >= 0.0, dpos, dneg)
+
+    return jax.shard_map(
+        local_rhs, mesh=mesh, in_specs=(spec,), out_specs=spec
+    )
+
+
 def make_distributed_jacobi_step(mesh: Mesh, dx: float, dy: float):
     """One distributed point-Jacobi sweep for periodic Poisson
     lap(u) = f (zero-mean gauge handled by the caller)."""

@@ -103,3 +103,29 @@ def test_sharded_vortex_step_matches(mesh2d, solver):
     out = step_sharded(sharded.place(x0, mesh2d))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_distributed_burgers_weno_rhs():
+    """Width-3 halo WENO-5 RHS on a 1D 8-device mesh matches the
+    single-device periodic form."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cfd_julia_tpu.models.burgers1d import _rhs_upwind_periodic
+    from cfd_julia_tpu.ops import weno as weno_ops
+
+    devs = np.array(jax.devices())
+    mesh1d = Mesh(devs, ("x",))
+    n = 256
+    dx = 1.0 / n
+    u = jnp.sin(2 * jnp.pi * jnp.arange(n) / n) + 0.3
+    ref = _rhs_upwind_periodic(
+        u, dx,
+        lambda v: weno_ops.reconstruct_left(v, "periodic"),
+        lambda v: weno_ops.reconstruct_right(v, "periodic"),
+    )
+    rhs = halo.make_distributed_burgers_weno_rhs(mesh1d, dx)
+    us = jax.device_put(u, NamedSharding(mesh1d, P("x")))
+    out = rhs(us)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
