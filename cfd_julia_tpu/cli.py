@@ -61,6 +61,11 @@ def cmd_run(args, extra):
 
 
 def cmd_bench(args):
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import bench as bench_mod  # repo-root bench
 
     if args.nx:
