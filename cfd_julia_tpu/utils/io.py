@@ -45,26 +45,31 @@ def write_residual_report(path, rms, linf, iterations):
         f.write(f"Iterations={int(iterations)}\n")
 
 
+def _write_rows(f, arrays):
+    """Vectorized row formatting (a Python per-element loop takes minutes
+    at 1024^2); repr-precision floats, space-separated."""
+    mat = np.column_stack([np.asarray(a, dtype=np.float64).ravel()
+                           for a in arrays])
+    np.savetxt(f, mat, fmt="%.17g", delimiter=" ")
+
+
 def write_field_csv(path, header: str, *columns):
     """Space-separated columns with a header line (field_final.csv)."""
     _ensure_dir(path)
-    cols = [np.asarray(c) for c in columns]
     with open(path, "w") as f:
         f.write(header + "\n")
-        for row in zip(*cols):
-            f.write(" ".join(repr(float(v)) for v in row) + "\n")
+        _write_rows(f, columns)
 
 
 def write_solution_history(path, x, snapshots):
     """`solution_*.txt`: each row `x u(t1) u(t2) ...`
     (weno_dirichlet.jl:171-180). snapshots: (ns, n)."""
     _ensure_dir(path)
-    x = np.asarray(x)
-    snaps = np.asarray(snapshots)
+    x = np.asarray(x, dtype=np.float64)
+    snaps = np.asarray(snapshots, dtype=np.float64)
+    mat = np.column_stack([x, snaps.T])
     with open(path, "w") as f:
-        for i in range(len(x)):
-            vals = " ".join(repr(float(v)) for v in snaps[:, i])
-            f.write(f"{float(x[i])!r} {vals} \n")
+        np.savetxt(f, mat, fmt="%.17g", delimiter=" ")
 
 
 def write_residual_history(path, history, n_records=None):
@@ -83,16 +88,17 @@ def write_field2d(path, x, y, *fields, header=None):
     """2D field dump: `x y f1 f2 ...` per node, j-major inner loop over i
     (lid_driven_cavity.jl:205-210, vm.jl:80-85)."""
     _ensure_dir(path)
-    x = np.asarray(x)
-    y = np.asarray(y)
-    fs = [np.asarray(f) for f in fields]
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    fs = [np.asarray(f, dtype=np.float64) for f in fields]
+    # j-major: rows ordered (j, i) with i fastest, like the reference loops
+    X = np.tile(x, len(y))
+    Y = np.repeat(y, len(x))
+    cols = [X, Y] + [ff.T.ravel() for ff in fs]
     with open(path, "w") as f:
         if header:
             f.write(header + "\n")
-        for j in range(len(y)):
-            for i in range(len(x)):
-                vals = " ".join(repr(float(ff[i, j])) for ff in fs)
-                f.write(f"{float(x[i])!r} {float(y[j])!r} {vals}\n")
+        _write_rows(f, cols)
 
 
 def write_vortex_snapshots(outdir, x, y, snapshots):
