@@ -19,3 +19,16 @@ def test_redblack_fused_matches(n, tile):
                                               interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("solver", ["hllc", "roe", "rusanov"])
+def test_euler_rhs_fused_matches(solver):
+    from cfd_julia_tpu.models import euler1d
+
+    cfg = euler1d.EulerConfig(nx=128, solver=solver)
+    _, q0 = euler1d.sod_initial_state(cfg, jnp.float64)
+    ref = euler1d.make_rhs(cfg)(q0)
+    out = pallas_kernels.euler_rhs_fused(q0, cfg.gamma, cfg.dx,
+                                         solver=solver, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
