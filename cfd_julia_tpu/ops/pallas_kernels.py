@@ -132,6 +132,112 @@ def redblack_sweep_fused(u, f, dx: float, dy: float, tile: int = 64,
     return redblack_sweeps_fused(u, f, dx, dy, 1, tile, interpret)
 
 
+# ------------------------------------------------- fused vorticity RHS
+
+def _arakawa_kernel(w_hbm, s_hbm, out_ref, ws, ss, sem_w, sem_s, *,
+                    tile, n_cols, dx, dy, re):
+    """r = -J(w,s) + lap(w)/re on one row slab (periodic; the wrapper
+    supplies wrap-padded rows/cols)."""
+    t = pl.program_id(0)
+    row0 = t * tile
+    slab = tile + 2 * GUARD
+
+    cw = pltpu.make_async_copy(w_hbm.at[pl.ds(row0, slab), :], ws, sem_w)
+    cs = pltpu.make_async_copy(s_hbm.at[pl.ds(row0, slab), :], ss, sem_s)
+    cw.start()
+    cs.start()
+    cw.wait()
+    cs.wait()
+
+    w = ws[:, :]
+    s = ss[:, :]
+
+    def sh(u, di, dj):
+        # vertical: roll within the slab (guard rows make it exact for the
+        # tile rows); horizontal: shift with self-fill (cols 0 / n_cols+1
+        # are wrap pads, so interior cols 1..n_cols read true neighbours)
+        if di:
+            u = pltpu.roll(u, (-di) % u.shape[0], 0)  # pltpu.roll needs >=0
+        if dj == 1:
+            u = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
+        elif dj == -1:
+            u = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+        return u
+
+    gg = 1.0 / (4.0 * dx * dy)
+    wE, wW, wN, wS = sh(w, 1, 0), sh(w, -1, 0), sh(w, 0, 1), sh(w, 0, -1)
+    sE, sW, sN, sS = sh(s, 1, 0), sh(s, -1, 0), sh(s, 0, 1), sh(s, 0, -1)
+    wNE, wSW, wNW, wSE = sh(w, 1, 1), sh(w, -1, -1), sh(w, -1, 1), sh(w, 1, -1)
+    sNE, sSW, sNW, sSE = sh(s, 1, 1), sh(s, -1, -1), sh(s, -1, 1), sh(s, 1, -1)
+
+    j1 = (wE - wW) * (sN - sS) - (wN - wS) * (sE - sW)
+    j2 = (wE * (sNE - sSE) - wW * (sNW - sSW)
+          - wN * (sNE - sNW) + wS * (sSE - sSW))
+    j3 = (wNE * (sN - sE) - wSW * (sW - sS)
+          - wNW * (sN - sW) + wSE * (sE - sS))
+    jac = gg * (j1 + j2 + j3) / 3.0
+    lap = (wE - 2.0 * w + wW) / dx**2 + (wN - 2.0 * w + wS) / dy**2
+    r = -jac + lap / re
+    out_ref[:, :] = r[GUARD : GUARD + tile, :]
+
+
+def arakawa_rhs_fused(w, s, dx: float, dy: float, re: float,
+                      tile: int = 64, interpret: bool | None = None):
+    """Periodic vorticity RHS -J(w,s) + lap(w)/re as one tiled Pallas pass
+    (both 17-point stencils evaluated on a single VMEM-resident slab);
+    matches ops.arakawa.vorticity_rhs."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    n_rows, n_cols = w.shape
+    row_pad = (-n_rows) % tile
+    rows_p = n_rows + row_pad
+
+    def wrap_ext(u):
+        # rows: GUARD wrap rows on top, GUARD + row_pad on the bottom (the
+        # extra pad rows are never read as tile rows; their garbage output
+        # is sliced off). cols: 1 wrap col each side + zero lane padding.
+        rows = jnp.concatenate(
+            [u[-GUARD:, :], u,
+             jnp.concatenate([u[:GUARD, :],
+                              jnp.zeros((row_pad, n_cols), u.dtype)], 0)
+             if row_pad else u[:GUARD, :]],
+            axis=0,
+        )
+        cols = jnp.concatenate([rows[:, -1:], rows, rows[:, :1]], axis=1)
+        col_pad = (-(n_cols + 2)) % 128
+        return jnp.pad(cols, ((0, 0), (0, col_pad)))
+
+    # wrap rows for the bottom pad region must still be the TRUE wrap rows
+    # for the last real tile; with row_pad > 0 the rows after u's end are
+    # u[:GUARD] followed by zeros — the zeros only feed pad-row outputs.
+    wp = wrap_ext(w)
+    sp = wrap_ext(s)
+    W = wp.shape[1]
+
+    kernel = functools.partial(
+        _arakawa_kernel, tile=tile, n_cols=n_cols, dx=dx, dy=dy, re=re,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_p, W), w.dtype),
+        grid=(rows_p // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile, W), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * GUARD, W), w.dtype),
+            pltpu.VMEM((tile + 2 * GUARD, W), s.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(wp, sp)
+    return out[:n_rows, 1 : n_cols + 1]
+
+
 # ------------------------------------------------------------- Euler RHS
 
 def euler_rhs_fused(q, gamma: float, dx: float, solver: str = "hllc",

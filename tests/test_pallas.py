@@ -32,3 +32,18 @@ def test_euler_rhs_fused_matches(solver):
                                          solver=solver, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("n,tile", [(32, 8), (48, 16)])
+def test_arakawa_rhs_fused_matches(n, tile):
+    from cfd_julia_tpu.ops import arakawa
+
+    rng = np.random.default_rng(1)
+    dx = dy = 2 * np.pi / n
+    w = jnp.asarray(rng.standard_normal((n, n)))
+    s = jnp.asarray(rng.standard_normal((n, n)))
+    ref = arakawa.vorticity_rhs(w, s, dx, dy, 100.0)
+    out = pallas_kernels.arakawa_rhs_fused(w, s, dx, dy, 100.0, tile=tile,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
