@@ -100,3 +100,19 @@ def test_residual_history_recorded():
     assert nrec >= max(1, n // 10 - 1)
     rms_ratio = hist[:nrec, 2]
     assert (np.diff(rms_ratio) < 1e-6).mean() > 0.6  # mostly decreasing
+
+
+def test_two_level_multigrid_preset():
+    """mg.jl's 2-level V-cycle (reference ch. 17 first variant): converges
+    slowly because the coarse level gets only v3=2 sweeps (mg.jl:60,101) —
+    same behaviour as the reference; the deep pyramid is the fast path."""
+    cfg = poisson2d.PoissonConfig(
+        nx=64, ny=64, solver="multigrid", problem="poly",
+        mg=multigrid.MGConfig(n_levels=2, tol=1e-9, max_cycles=400),
+    )
+    res = poisson2d.solve(cfg)
+    assert float(res.rms) / float(res.rms0) < 1e-6
+    # steady residual decrease across recorded cycles
+    hist = np.asarray(res.history)
+    rel = hist[~np.isnan(hist[:, 0]), 2]
+    assert rel[-1] < rel[0] * 1e-3
