@@ -95,6 +95,15 @@ def main():
 
     cavity_sps = bench_cavity()
     print(f"# cavity 1024^2 fp32: {cavity_sps:.1f} steps/s", file=sys.stderr)
+
+    # headline first (secondaries compile for minutes and must never block it)
+    print(json.dumps({
+        "metric": "cavity_1024_steps_per_sec",
+        "value": round(cavity_sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(cavity_sps / JULIA_BASELINE_STEPS_PER_SEC, 1),
+    }), flush=True)
+
     try:
         ps_sps = bench_pseudospectral()
         print(f"# pseudospectral 2048^2 fp32: {ps_sps:.1f} steps/s",
@@ -107,13 +116,6 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"# multigrid bench failed: {e}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "cavity_1024_steps_per_sec",
-        "value": round(cavity_sps, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(cavity_sps / JULIA_BASELINE_STEPS_PER_SEC, 1),
-    }))
 
 
 if __name__ == "__main__":

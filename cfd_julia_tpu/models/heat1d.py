@@ -19,7 +19,6 @@ with parallel cyclic reduction (ops.tridiag) instead of serial Thomas.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ TGV validation: 64^2, Re=10, dt=0.01, t=1 (tgv.jl:92-146).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ parallel.sharded.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

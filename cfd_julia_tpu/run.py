@@ -15,7 +15,6 @@ import numpy as np
 from cfd_julia_tpu import presets as presets_lib
 from cfd_julia_tpu.models import (burgers1d, cavity as cavity_model,
                                   euler1d, heat1d, poisson2d, vortex)
-from cfd_julia_tpu.ops import norms
 from cfd_julia_tpu.utils import io
 
 
