@@ -114,10 +114,10 @@ def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=None):
     dtype = dtype or jnp.float32
 
     cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3)
-    step = vortex.make_spectral_step(cfg, dtype)
+    step = vortex.make_spectral_step_half(cfg, dtype)
     w0 = vortex.initial_vorticity(cfg, dtype)
-    wf = jnp.fft.fft2(w0.astype(jnp.complex64))
-    sps, wf = _timed_scan(step, wf, steps,
+    hf = vortex.half_init(w0)
+    sps, hf = _timed_scan(step, hf, steps,
                           lambda s: float(jnp.abs(s).sum()))
     return sps
 

@@ -245,6 +245,15 @@ def cmd_plot(args):
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS if the user set it: the env var alone is not
+    # reliably respected once the remote-TPU plugin registers, and any
+    # module that materializes a constant then hangs on a dead tunnel.
+    import os
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
     parser = argparse.ArgumentParser(prog="cfd_julia_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     sub.add_parser("list")

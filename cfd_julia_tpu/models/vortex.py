@@ -163,10 +163,25 @@ def _deriv_spectra(wf, k2, kx, ky):
     return ikx * wf / k2, iky * wf, iky * wf / k2, ikx * wf
 
 
+def _nyquist_mask(nx: int, ny: int):
+    ix = jnp.arange(nx)[:, None]
+    iy = jnp.arange(ny)[None, :]
+    return (((nx % 2 != 0) | (ix != nx // 2))
+            & ((ny % 2 != 0) | (iy != ny // 2)))
+
+
 def jacobian_ps32(wf, k2, kx, ky, nx, ny, mesh=None):
     """Pseudospectral Jacobian, 3/2-rule zero-padding dealiasing
     (pseudospectral_32_rule.jl:95-177): jf = fft(psi_x w_y - psi_y w_x)
-    evaluated on the 1.5x grid, truncated back."""
+    evaluated on the 1.5x grid, truncated back.
+
+    Deviation: the truncated spectrum's Nyquist row/column are zeroed.
+    The reference's truncation keeps the fine grid's -n/2 modes without
+    their +n/2 partners (truncate_32's one-sided negative block), leaving
+    non-Hermitian content on the coarse Nyquist line — unrepresentable for
+    a real field and inert anyway (_deriv_spectra masks it before every
+    jacobian).  Zeroing it keeps the state exactly Hermitian so the
+    half-spectrum fast path is bit-equivalent."""
     nxe, nye = 3 * nx // 2, 3 * ny // 2
     scale = (nxe * nye) / (nx * ny)
     specs = [spectral.pad_32(s, nxe, nye) * scale
@@ -181,7 +196,7 @@ def jacobian_ps32(wf, k2, kx, ky, nx, ny, mesh=None):
     else:
         j1, j2, j3, j4 = (jnp.real(spectral.ifft2(s, mesh)) for s in specs)
         jacpf = spectral.fft2(j1 * j2 - j3 * j4, mesh)
-    return spectral.truncate_32(jacpf, nx, ny) / scale
+    return (spectral.truncate_32(jacpf, nx, ny) / scale) * _nyquist_mask(nx, ny)
 
 
 def jacobian_ps23(wf, k2, kx, ky, nx, ny, mesh=None):
@@ -208,6 +223,157 @@ def jacobian_ps23(wf, k2, kx, ky, nx, ny, mesh=None):
                                   - z[1].real * z[1].imag)
     j1, j2, j3, j4 = (jnp.real(spectral.ifft2(s, mesh)) for s in specs)
     return spectral.fft2(j1 * j2 - j3 * j4, mesh)
+
+
+# ------------------------------------------- half-spectrum fast path
+#
+# Single-chip state is the rfft2 HALF spectrum H (nx, ny//2+1) of the real
+# vorticity — half the HBM traffic of the full spectrum for every
+# elementwise op in the step.  The jacobian collapses further: the four
+# derivative spectra (psi_x, w_y, psi_y, w_x) are CONSTANT multiples of H,
+# so each packed pair full(A) + i*full(B) needed by the two-for-one
+# inverse is (const1 * H | const2 * H) + the pack_hermitian_pair concat —
+# two fused multiplies per stage instead of rebuilding four full spectra.
+# The forward transform of the real Jacobian is a bare rfft2 (the
+# hermitian_full mirror that round 1 paid every stage disappears: its
+# output *is* the state).  FFT work is unchanged (2.5 c2c-equivalents per
+# stage — the roofline of this formulation); everything else shrinks.
+
+def _cn_consts(cfg: VortexConfig, k2h, dtype):
+    """Per-stage CN/RK3 update coefficients with the zero-mean projection
+    folded in: a_s = (1-d)/(1+d), b_s = gamma_s dt/(1+d),
+    r_s = rho_s dt/(1+d), all zeroed at k=(0,0) so the mean mode is
+    projected out exactly as zero_mean_mode did (hybrid.jl:34-69)."""
+    dt, re = cfg.dt, cfg.re
+    nx, hy = k2h.shape
+    mean = 1.0 - ((jnp.arange(nx)[:, None] == 0)
+                  & (jnp.arange(hy)[None, :] == 0)).astype(dtype)
+    out = []
+    for s in range(3):
+        d = ALPHAS[s] * 0.5 * dt * k2h / re
+        out.append((mean * (1.0 - d) / (1.0 + d),
+                    mean * GAMMAS[s] * dt / (1.0 + d),
+                    mean * RHOS[s] * dt / (1.0 + d)))
+    return out
+
+
+def _half_wavenumbers(cfg: VortexConfig, dtype, eps: float = 1e-6):
+    """kx (full axis, eps-guarded for 1/k2), ky (rfft half axis), the
+    eps-guarded k2, and the multiplicative kx0/ky0 with k=0 and Nyquist
+    zeroed (the _deriv_spectra conventions, on half-spectrum shapes)."""
+    nx, ny = cfg.nx, cfg.ny
+    kx = spectral.fft_wavenumber_index(nx, cfg.dx, dtype, eps)[:, None]
+    kyh = spectral.rfft_wavenumber_index(ny, cfg.dy, dtype)[None, :]
+    kyg = jnp.where(kyh == 0.0, eps, kyh)          # guard matches wavespace
+    k2h = kx**2 + kyg**2
+    ix = jnp.arange(nx)[:, None]
+    iy = jnp.arange(ny // 2 + 1)[None, :]
+    kx0 = jnp.where(ix == 0, 0.0, kx)
+    ky0 = kyh                                       # j=0 entry is already 0
+    nyq = (((nx % 2 != 0) | (ix != nx // 2))
+           & ((ny % 2 != 0) | (iy != ny // 2))).astype(dtype)
+    return kx0, ky0, k2h, nyq
+
+
+def _packed_jacobian_consts(cfg: VortexConfig, dtype, band_mask=None):
+    """head/tail constants for the two packed derivative pairs:
+    pair 1 recovers (psi_x, w_y), pair 2 recovers (psi_y, w_x):
+        head = (i kx/k2 - ky) resp. (i ky/k2 - kx)   [A + iB]
+        tail = (i kx/k2 + ky) resp. (i ky/k2 + kx)   [A - iB]
+    all times the Nyquist zeroing and any dealias band mask."""
+    kx0, ky0, k2h, nyq = _half_wavenumbers(cfg, dtype)
+    cdtype = precision.complex_dtype(dtype)
+    m = nyq if band_mask is None else nyq * band_mask.astype(dtype)
+    gx, gy = kx0 / k2h, ky0 / k2h
+    consts = ((1j * gx - ky0) * m, (1j * gx + ky0) * m,
+              (1j * gy - kx0) * m, (1j * gy + kx0) * m)
+    return tuple(c.astype(cdtype) for c in consts)
+
+
+def _band_mask_23_half(cfg: VortexConfig):
+    """Symmetric 2/3 band on half-spectrum indices (see jacobian_ps23)."""
+    nxe, nye = (2 * cfg.nx) // 3, (2 * cfg.ny) // 3
+    ix = jnp.arange(cfg.nx)[:, None]
+    iy = jnp.arange(cfg.ny // 2 + 1)[None, :]
+    keep_x = (ix < nxe // 2) | (ix > cfg.nx - nxe // 2)
+    return keep_x & (iy < nye // 2)
+
+
+def make_spectral_step_half(cfg: VortexConfig, dtype):
+    """3-stage RK3/CN step over the rfft2 half spectrum (single chip).
+
+    Numerically identical to make_spectral_step (same operations on the
+    Hermitian-redundant representation removed); validated against it in
+    tests/test_ns2d.py."""
+    nx, ny = cfg.nx, cfg.ny
+    _, _, k2h, _ = _half_wavenumbers(cfg, dtype)
+    cn = _cn_consts(cfg, k2h, dtype)
+
+    if cfg.solver == "hybrid":
+        cdtype = precision.complex_dtype(dtype)
+        head = (1.0 + 1j / k2h).astype(cdtype)
+        tail = (1.0 - 1j / k2h).astype(cdtype)
+
+        def jac(H):
+            z = jnp.fft.ifft2(spectral.pack_hermitian_pair(
+                head * H, tail * H, ny))
+            return jnp.fft.rfft2(
+                -arakawa.jacobian(z.real, z.imag, cfg.dx, cfg.dy))
+    elif cfg.solver in ("ps32", "ps23"):
+        band = _band_mask_23_half(cfg) if cfg.solver == "ps23" else None
+        h1, t1, h2, t2 = _packed_jacobian_consts(cfg, dtype, band)
+
+        if cfg.solver == "ps23":
+            def jac(H):
+                z = jnp.fft.ifft2(jnp.stack([
+                    spectral.pack_hermitian_pair(h1 * H, t1 * H, ny),
+                    spectral.pack_hermitian_pair(h2 * H, t2 * H, ny),
+                ]))
+                return jnp.fft.rfft2(z[0].real * z[0].imag
+                                     - z[1].real * z[1].imag)
+        else:
+            nxe, nye = 3 * nx // 2, 3 * ny // 2
+            scale = (nxe * nye) / (nx * ny)
+            _, _, _, nyq = _half_wavenumbers(cfg, dtype)
+            nyq_over_scale = nyq / scale   # fold the Nyquist zeroing
+                                           # (see jacobian_ps32) + rescale
+
+            def jac(H):
+                pads = jnp.stack([
+                    spectral.pad_32(spectral.pack_hermitian_pair(
+                        h1 * H, t1 * H, ny), nxe, nye),
+                    spectral.pad_32(spectral.pack_hermitian_pair(
+                        h2 * H, t2 * H, ny), nxe, nye),
+                ]) * scale
+                z = jnp.fft.ifft2(pads)
+                jf = jnp.fft.rfft2(z[0].real * z[0].imag
+                                   - z[1].real * z[1].imag)
+                return spectral.truncate_32_half(jf, nx, ny) * nyq_over_scale
+    else:
+        raise ValueError(cfg.solver)
+
+    (a1, b1, _), (a2, b2, r2), (a3, b3, r3) = cn
+
+    def step(H):
+        jn = jac(H)
+        H1 = a1 * H + b1 * jn
+        j1 = jac(H1)
+        H2 = a2 * H1 + r2 * jn + b2 * j1
+        j2 = jac(H2)
+        return a3 * H2 + r3 * j1 + b3 * j2
+
+    return step
+
+
+def half_init(w0):
+    """rfft2 half-spectrum state with the mean mode projected out."""
+    return spectral.zero_mean_mode(jnp.fft.rfft2(w0))
+
+
+def half_decode(H, ny: int, dtype):
+    """Real vorticity from the half spectrum (no IRFFT on TPU: Hermitian
+    mirror + complex ifft2)."""
+    return jnp.real(jnp.fft.ifft2(spectral.hermitian_full(H, ny))).astype(dtype)
 
 
 def make_spectral_step(cfg: VortexConfig, dtype, mesh=None):
@@ -261,14 +427,13 @@ def solve(cfg: VortexConfig, dtype=None) -> VortexResult:
         w, snaps = loop.run_steps_with_snapshots(step, w0, cfg.nt, every)
         snapshots = jnp.concatenate([w0[None], snaps], axis=0)
     else:
-        step = make_spectral_step(cfg, dtype)
-        wf0 = jnp.fft.fft2(w0.astype(precision.complex_dtype(dtype)))
-        wf0 = spectral.zero_mean_mode(wf0)
-        observe = lambda wf: jnp.real(jnp.fft.ifft2(wf)).astype(dtype)
-        wf, snaps = loop.run_steps_with_snapshots(
-            step, wf0, cfg.nt, every, observe=observe
+        step = make_spectral_step_half(cfg, dtype)
+        h0 = half_init(w0)
+        observe = lambda H: half_decode(H, cfg.ny, dtype)
+        hf, snaps = loop.run_steps_with_snapshots(
+            step, h0, cfg.nt, every, observe=observe
         )
-        w = jnp.real(jnp.fft.ifft2(wf)).astype(dtype)
+        w = half_decode(hf, cfg.ny, dtype)
         snapshots = jnp.concatenate([w0[None], snaps], axis=0)
 
     return VortexResult(x=x, y=y, w=w, snapshots=snapshots)

@@ -62,16 +62,30 @@ def ifft2(x, mesh=None):
     return jnp.fft.ifft(x, axis=-1)
 
 
-def hermitian_full(h, n: int):
-    """Rebuild the full (.., n, n) spectrum of a REAL field from its rfft2
-    half spectrum (.., n, n//2+1): full[i, j] = conj(h[(n-i)%n, n-j]) for
-    j > n/2. Pure flips/concats — far cheaper than the missing IRFFT."""
-    tail = jnp.conj(h[..., :, 1 : n - n // 2])       # j = 1..ceil(n/2)-1
+def pack_hermitian_pair(head, tail_src, n: int):
+    """Build the full (.., n, n) packed spectrum full(A) + i*full(B) of two
+    REAL fields a, b from half-spectrum-shaped inputs (.., n, n//2+1):
+
+        head     = A + iB   (columns j = 0 .. n/2 of the packed spectrum)
+        tail_src = A - iB   (source for columns j > n/2)
+
+    because for j > n/2 the Hermitian symmetry of A and B gives
+    full[i, j] = conj(A - iB)[(n-i) % n, n-j].  One complex ifft2 of the
+    result recovers a = Re, b = Im — the two-for-one inverse that replaces
+    the IRFFT the TPU backend lacks.  Pure flips/concats otherwise."""
+    tail = jnp.conj(tail_src[..., :, 1 : n - n // 2])  # j = 1..ceil(n/2)-1
     tail = tail[..., :, ::-1]                          # -> j' = n-j ascending
     tail = jnp.concatenate(
         [tail[..., :1, :], tail[..., 1:, :][..., ::-1, :]], axis=-2
     )                                                  # i -> (n-i) % n
-    return jnp.concatenate([h, tail], axis=-1)
+    return jnp.concatenate([head, tail], axis=-1)
+
+
+def hermitian_full(h, n: int):
+    """Rebuild the full (.., n, n) spectrum of a REAL field from its rfft2
+    half spectrum (.., n, n//2+1): full[i, j] = conj(h[(n-i)%n, n-j]) for
+    j > n/2 (the A = h, B = 0 case of pack_hermitian_pair)."""
+    return pack_hermitian_pair(h, h, n)
 
 
 def fft2_real(x, mesh=None):
@@ -231,15 +245,47 @@ def dealias_mask_23(nx: int, ny: int):
 def pad_32(fhat, nxe: int, nye: int):
     """Zero-pad an (nx, ny) spectrum into an (nxe, nye) spectrum (3/2-rule
     dealiasing, pseudospectral_32_rule.jl:124-153), preserving Parseval
-    scaling for the round trip (scale by (nxe nye)/(nx ny) on ifft)."""
+    scaling for the round trip (scale by (nxe nye)/(nx ny) on ifft).
+
+    Concat-built (zeros inserted between the positive- and negative-
+    frequency blocks): scatters (.at[].set) are 6-25x slower than dataflow
+    on TPU and miscompile on FFT outputs under GSPMD."""
     nx, ny = fhat.shape[-2], fhat.shape[-1]
-    out = jnp.zeros(fhat.shape[:-2] + (nxe, nye), fhat.dtype)
     hx, hy = nx // 2, ny // 2
-    out = out.at[..., :hx, :hy].set(fhat[..., :hx, :hy])
-    out = out.at[..., :hx, nye - hy :].set(fhat[..., :hx, hy:])
-    out = out.at[..., nxe - hx :, :hy].set(fhat[..., hx:, :hy])
-    out = out.at[..., nxe - hx :, nye - hy :].set(fhat[..., hx:, hy:])
-    return out
+    zc = jnp.zeros(fhat.shape[:-1] + (nye - ny,), fhat.dtype)
+    cols = jnp.concatenate([fhat[..., :, :hy], zc, fhat[..., :, hy:]],
+                           axis=-1)
+    zr = jnp.zeros(fhat.shape[:-2] + (nxe - nx, nye), fhat.dtype)
+    return jnp.concatenate([cols[..., :hx, :], zr, cols[..., hx:, :]],
+                           axis=-2)
+
+
+def rfft_wavenumber_index(n: int, dx: float, dtype):
+    """Half-axis wavenumbers k_j = hx * j, j = 0..n/2 (the rfft layout),
+    with no eps guard — callers fold their own k=0 handling."""
+    hx = 2 * jnp.pi / (n * dx)
+    return hx * jnp.arange(n // 2 + 1, dtype=dtype)
+
+
+def truncate_32_half(h_e, nx: int, ny: int):
+    """truncate_32 for rfft2 HALF spectra: gather an (nxe, nye//2+1) half
+    spectrum on the 3/2 grid back to (nx, ny//2+1).
+
+    Columns 0..ny/2-1 map to the same positive frequencies.  The target
+    Nyquist column (j = ny/2) must carry the reference's kept coefficient,
+    which is the *negative* frequency -ny/2 on the fine grid
+    (truncate_32 keeps columns [nye-hy:], i.e. -hy..-1); in half layout
+    that is conj(h_e[(nxe - i) % nxe, +hy])."""
+    nxe = h_e.shape[-2]
+    hx, hy = nx // 2, ny // 2
+    rows = jnp.concatenate([h_e[..., :hx, :], h_e[..., nxe - hx :, :]],
+                           axis=-2)
+    head = rows[..., :, :hy]
+    col = jnp.conj(h_e[..., :, hy])                      # (.., nxe)
+    col = jnp.concatenate([col[..., :1], col[..., 1:][..., ::-1]],
+                          axis=-1)                        # i -> (nxe-i)%nxe
+    nyq = jnp.concatenate([col[..., :hx], col[..., nxe - hx :]], axis=-1)
+    return jnp.concatenate([head, nyq[..., :, None]], axis=-1)
 
 
 def truncate_32(fhat_e, nx: int, ny: int):

@@ -93,6 +93,33 @@ def test_vortex_merger_cross_solver():
     assert np.abs(fields["fdm"] - ref).max() / scale < 1e-1
 
 
+@pytest.mark.parametrize("solver", ["hybrid", "ps32", "ps23"])
+def test_half_spectrum_step_matches_full(solver):
+    """The rfft2 half-spectrum fast path is the full-spectrum step with the
+    Hermitian-redundant half removed: after several steps from a generic
+    (non-symmetric) initial field, hermitian_full(half state) must equal
+    the full-spectrum state to fp64 roundoff."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.ops import spectral
+
+    cfg = vortex.VortexConfig(nx=48, ny=48, solver=solver, dt=0.01,
+                              re=1000.0)
+    dtype = jnp.float64
+    rng = np.random.default_rng(7)
+    w0 = jnp.asarray(rng.standard_normal((48, 48)), dtype)
+
+    full_step = vortex.make_spectral_step(cfg, dtype)
+    wf = spectral.zero_mean_mode(jnp.fft.fft2(w0.astype(jnp.complex128)))
+    half_step = vortex.make_spectral_step_half(cfg, dtype)
+    H = vortex.half_init(w0)
+    for _ in range(5):
+        wf = full_step(wf)
+        H = half_step(H)
+    full_of_half = np.asarray(spectral.hermitian_full(H, cfg.ny))
+    np.testing.assert_allclose(full_of_half, np.asarray(wf),
+                               rtol=0, atol=1e-11)
+
+
 def test_vortex_merger_snapshots_and_conservation():
     """Mean vorticity stays zero (periodic integral invariant); enstrophy
     decays monotonically under viscosity."""
