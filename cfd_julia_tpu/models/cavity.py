@@ -39,6 +39,9 @@ class CavityConfig:
     t_final: float = 10.0
     re: float = 100.0
     bc_order: int = 2        # 1 = Hoffmann, 2 = Jensen (reference default)
+    poisson: str = "fst"     # fst (DST-I via rfft) | matmul (MXU sine
+                             # transform; same eigenvalues, n^3 vs n^2 log n
+                             # flops but runs on the systolic array)
 
     @property
     def dx(self) -> float:
@@ -95,16 +98,94 @@ def apply_wall_bc(w, s, dx: float, dy: float, order: int = 2):
     return assemble_with_wall_bc(w[1:-1, 1:-1], s, dx, dy, order)
 
 
+def _wall_bc_fields(s, dx: float, dy: float, order: int):
+    """Full-shape wall-BC candidate fields from rolls of psi — each is
+    valid on its own wall line (i=0, i=nx, j=0, j=ny) and selected there
+    by a mask.  Roll-based so every intermediate keeps the array's
+    sharding (slices like s[1, 1:-1] reshard under GSPMD)."""
+    sxm, sxm2 = jnp.roll(s, -1, 0), jnp.roll(s, -2, 0)   # s[i+1], s[i+2]
+    sxp, sxp2 = jnp.roll(s, 1, 0), jnp.roll(s, 2, 0)     # s[i-1], s[i-2]
+    sym, sym2 = jnp.roll(s, -1, 1), jnp.roll(s, -2, 1)
+    syp, syp2 = jnp.roll(s, 1, 1), jnp.roll(s, 2, 1)
+    if order == 1:
+        return (-2.0 * sxm / dx**2,
+                -2.0 * sxp / dx**2,
+                -2.0 * sym / dy**2,
+                -2.0 * syp / dy**2 - 2.0 / dy)
+    return ((-4.0 * sxm + 0.5 * sxm2) / dx**2,
+            (-4.0 * sxp + 0.5 * sxp2) / dx**2,
+            (-4.0 * sym + 0.5 * sym2) / dy**2,
+            (-4.0 * syp + 0.5 * syp2) / dy**2 - 3.0 / dy)
+
+
+def make_padded_step_fn(cfg: CavityConfig, padded_shape):
+    """Cavity step on mesh-divisible padded (P, Q) fields — the multi-chip
+    formulation.  Same math as make_step_fn, but pure dataflow: rolls +
+    masks for the RHS/BC assembly and the MXU-matmul DST for the Poisson
+    solve, so GSPMD partitions every op in place (the slice/concat/pad
+    assembly of the logical-grid step forces involuntary full
+    rematerialization of edge tensors under a 2D sharding).
+
+    State: (w, s, rms) with w, s of shape padded_shape; the logical field
+    lives at [0..nx, 0..ny], padding stays exactly zero."""
+    nx, ny = cfg.nx, cfg.ny
+    dx, dy, dt, re = cfg.dx, cfg.dy, cfg.dt, cfg.re
+    P, Q = padded_shape
+    i = jnp.arange(P)[:, None]
+    j = jnp.arange(Q)[None, :]
+    interior = (i >= 1) & (i <= nx - 1) & (j >= 1) & (j <= ny - 1)
+    logical = (i <= nx) & (j <= ny)
+    n_nodes = float((nx + 1) * (ny + 1))
+
+    def close(wt_raw, s_prev):
+        """Mask in the wall BCs (y-walls own the corners: applied last,
+        matching the reference's write order), zero the padding, fresh
+        psi from the matmul Poisson solve."""
+        bx_lo, bx_hi, by_lo, by_hi = _wall_bc_fields(
+            s_prev, dx, dy, cfg.bc_order)
+        wt = jnp.where(interior, wt_raw, 0.0)
+        wt = jnp.where(i == 0, bx_lo, wt)
+        wt = jnp.where(i == nx, bx_hi, wt)
+        wt = jnp.where(j == 0, by_lo, wt)
+        wt = jnp.where(j == ny, by_hi, wt)
+        wt = jnp.where(logical, wt, 0.0)
+        s = direct.solve_fst_matmul_padded(-wt, nx, ny, dx, dy)
+        return wt, s
+
+    def step(state):
+        w, s, _ = state
+        sp = s
+        r = arakawa.vorticity_rhs(w, s, dx, dy, re)
+        wt, s = close(w + dt * r, s)
+        r = arakawa.vorticity_rhs(wt, s, dx, dy, re)
+        wt, s = close(0.75 * w + 0.25 * wt + 0.25 * dt * r, s)
+        r = arakawa.vorticity_rhs(wt, s, dx, dy, re)
+        wn, s = close((w + 2.0 * wt + 2.0 * dt * r) / 3.0, s)
+        rms = jnp.sqrt(
+            jnp.sum(jnp.where(logical, (s - sp) ** 2, 0.0)) / n_nodes)
+        return (wn, s, rms)
+
+    return step
+
+
 def make_step_fn(cfg: CavityConfig, mesh=None):
     dx, dy, dt, re = cfg.dx, cfg.dy, cfg.dt, cfg.re
 
     def rhs_interior(w, s):
         return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
+    if cfg.poisson == "matmul":
+        # padded solver on the exact (nx+1, ny+1) shape: reads the
+        # interior, returns exact-zero walls — same contract as solve_fst
+        solve = lambda f: direct.solve_fst_matmul_padded(
+            f, cfg.nx, cfg.ny, dx, dy)
+    else:
+        solve = lambda f: direct.solve_fst(f, dx, dy, mesh=mesh)
+
     def stage_close(wt_interior, s_prev):
         """Assemble with wall BCs from the pre-stage psi, then fresh psi."""
         wt = assemble_with_wall_bc(wt_interior, s_prev, dx, dy, cfg.bc_order)
-        s = direct.solve_fst(-wt, dx, dy, mesh=mesh)
+        s = solve(-wt)
         return wt, s
 
     def step(state):

@@ -36,21 +36,19 @@ def pad_to_mesh(arr, mesh):
 
 def make_sharded_cavity_step(cfg, mesh):
     """Sharded full cavity step over padded fields:
-    (w_pad, s_pad, rms) -> (w_pad, s_pad, rms)."""
+    (w_pad, s_pad, rms) -> (w_pad, s_pad, rms).
+
+    Uses the pure-dataflow padded step (masked rolls + MXU-matmul DST):
+    every op keeps its operands' sharding, so the partitioner emits plain
+    halo collectives and matmul all-gathers — no involuntary full
+    rematerialization (the logical-grid step's slice/concat BC assembly
+    triggered it on every stage)."""
     sh = mesh_lib.field_sharding(mesh)
     rep = mesh_lib.replicated(mesh)
-    step = cavity_model.make_step_fn(cfg, mesh=mesh)
-    n1, m1 = cfg.nx + 1, cfg.ny + 1
-
-    def padded_step(state):
-        wp, sp, rms = state
-        w, s = wp[:n1, :m1], sp[:n1, :m1]
-        w, s, rms = step((w, s, rms))
-        pads = ((0, wp.shape[0] - n1), (0, wp.shape[1] - m1))
-        return (jnp.pad(w, pads), jnp.pad(s, pads), rms)
-
+    ps = padded_shape((cfg.nx + 1, cfg.ny + 1), mesh)
+    step = cavity_model.make_padded_step_fn(cfg, ps)
     return jax.jit(
-        padded_step,
+        step,
         in_shardings=((sh, sh, rep),),
         out_shardings=(sh, sh, rep),
     )

@@ -29,3 +29,47 @@ def solve_fst(f, dx: float, dy: float, mesh=None):
     (Boundary ring rebuilt with jnp.pad, not scatter — GSPMD-safe.)"""
     interior = spectral.fst_poisson_dirichlet(f[1:-1, 1:-1], dx, dy, mesh=mesh)
     return jnp.pad(interior, 1)
+
+
+def sine_matrix(n: int, size: int, dtype):
+    """(size, size) zero-extended DST-I matrix: S[r, c] = sin(pi r c / n)
+    for r, c < n and 0 elsewhere.  S restricted to indices 1..n-1 is the
+    (unscaled) DST-I; rows/cols 0 vanish naturally (sin 0), so applying S
+    to a field whose walls and padding are zero both transforms the
+    interior and keeps the zero ring — no slicing in or out."""
+    r = jnp.arange(size, dtype=dtype)[:, None]
+    c = jnp.arange(size, dtype=dtype)[None, :]
+    s = jnp.sin(jnp.pi * r * c / n)
+    return jnp.where((r < n) & (c < n), s, jnp.zeros((), dtype))
+
+
+def solve_fst_matmul_padded(f, nx: int, ny: int, dx: float, dy: float):
+    """Dirichlet Poisson solve as four dense matmuls (MXU path).
+
+    f: (P, Q) padded field whose logical content lives at [0..nx, 0..ny];
+    only interior values (1..nx-1, 1..ny-1) are read.  Returns the padded
+    solution, exactly zero on the walls and padding.  Same eigenvalues and
+    normalization as the DST-I solve (fft_d.jl:7-23): with S the unscaled
+    sine matrix, u = S((S g S)/den)S * 4/(nx ny), since S^2 = (n/2) I on
+    the interior and FFTW's RODFT00 pair scales by 2nx * 2ny.
+
+    This is the multi-chip formulation of choice: every op is a dense
+    matmul or elementwise — GSPMD partitions them natively (no pencil
+    reshardings, no odd-extension concats, no uneven-by-one slices that
+    trigger involuntary rematerialization) — and on TPU the MXU executes
+    the n^3 sine transforms faster than the VPU FFT at cavity sizes."""
+    P, Q = f.shape[-2], f.shape[-1]
+    dtype = f.dtype
+    sx = sine_matrix(nx, P, dtype)
+    sy = sine_matrix(ny, Q, dtype)
+    k = jnp.arange(P, dtype=dtype)[:, None]
+    l_ = jnp.arange(Q, dtype=dtype)[None, :]
+    valid = ((k >= 1) & (k <= nx - 1)) & ((l_ >= 1) & (l_ <= ny - 1))
+    den = (2.0 / dx**2) * (jnp.cos(jnp.pi * k / nx) - 1.0) + (
+        2.0 / dy**2
+    ) * (jnp.cos(jnp.pi * l_ / ny) - 1.0)
+    den = jnp.where(valid, den, jnp.ones((), dtype))
+    g = jnp.where(valid, f, jnp.zeros((), dtype))
+    mm = lambda a, b: jnp.matmul(a, b, precision="highest")
+    coeff = mm(mm(sx, g), sy) / den
+    return mm(mm(sx, coeff), sy) * (4.0 / (nx * ny))

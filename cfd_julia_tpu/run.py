@@ -113,9 +113,15 @@ def _run_cavity(preset, outdir, dtype):
     io.write_field2d(os.path.join(outdir, "field_final.txt"),
                      res.x, res.y, np.asarray(res.w), np.asarray(res.s))
     u, v = cavity_model.centerline_velocities(res, cfg)
-    io.write_field_csv(os.path.join(outdir, "centerlines.txt"),
-                       "y u_centerline x v_centerline",
-                       res.y, u, res.x, v)
+    if cfg.nx == cfg.ny:
+        io.write_field_csv(os.path.join(outdir, "centerlines.txt"),
+                           "y u_centerline x v_centerline",
+                           res.y, u, res.x, v)
+    else:  # rectangular grid: centerlines have different lengths
+        io.write_field_csv(os.path.join(outdir, "centerline_u.txt"),
+                           "y u_centerline", res.y, u)
+        io.write_field_csv(os.path.join(outdir, "centerline_v.txt"),
+                           "x v_centerline", res.x, v)
     return {"steady_rms": float(rms[-1]),
             "psi_min": float(np.asarray(res.s).min())}
 

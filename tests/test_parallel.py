@@ -81,6 +81,30 @@ def test_sharded_cavity_step_matches(mesh2d):
     np.testing.assert_allclose(float(st[2]), float(ref[2]), rtol=1e-10)
 
 
+def test_sharded_cavity_no_rematerialization(mesh2d, capfd):
+    """The padded cavity step must partition without GSPMD 'involuntary
+    full rematerialization' (the slice/concat BC assembly used to trigger
+    it on every stage).  Compile cache disabled so a warm cache can't skip
+    partitioning and trivially pass."""
+    cache_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        cfg = cavity_model.CavityConfig(nx=32, ny=32)
+        step = sharded.make_sharded_cavity_step(cfg, mesh2d)
+        st = (
+            sharded.place(sharded.pad_to_mesh(jnp.zeros((33, 33)), mesh2d),
+                          mesh2d),
+            sharded.place(sharded.pad_to_mesh(jnp.zeros((33, 33)), mesh2d),
+                          mesh2d),
+            jnp.zeros(()),
+        )
+        jax.block_until_ready(step(st))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
+
+
 @pytest.mark.parametrize("solver", ["ps23", "ps32", "hybrid", "fdm"])
 def test_sharded_vortex_step_matches(mesh2d, solver):
     cfg = vortex_model.VortexConfig(nx=32, ny=32, solver=solver, t_final=0.1)
