@@ -55,6 +55,39 @@ def cmd_run(args, extra):
             return 2
         overrides[key] = _parse_value(fields[key].type, extra[i + 1])
         i += 2
+
+    if args.sweep:
+        # one-invocation grid sweep, e.g. --sweep nx=100,200,400 — the
+        # reference's in-script loops (weno_dirichlet.jl:158, fft_p.jl:48)
+        # writing per-grid files into one directory
+        # multiple fields zip together: "nx=32,64;ny=32,64"
+        sweep = {}
+        for part in args.sweep.split(";"):
+            key, _, raw = part.partition("=")
+            if key not in fields or not raw:
+                print(f"--sweep wants field=v1,v2[;field2=...] with "
+                      f"{args.preset} fields; fields: {', '.join(fields)}",
+                      file=sys.stderr)
+                return 2
+            sweep[key] = [_parse_value(fields[key].type, v)
+                          for v in raw.split(",")]
+        lengths = {len(v) for v in sweep.values()}
+        if len(lengths) != 1:
+            print("--sweep fields must have equal value counts",
+                  file=sys.stderr)
+            return 2
+        all_metrics = []
+        for point in zip(*sweep.values()):
+            pt = dict(zip(sweep.keys(), point))
+            m = run.run_preset(args.preset, outdir=args.outdir,
+                               **{**overrides, **pt})
+            m.update(pt)
+            all_metrics.append(m)
+        with open(f"{args.outdir}/sweep_metrics.json", "w") as f:
+            json.dump(all_metrics, f, indent=2)
+        print(json.dumps(all_metrics, indent=2))
+        return 0
+
     metrics = run.run_preset(args.preset, outdir=args.outdir, **overrides)
     print(json.dumps(metrics, indent=2))
     return 0
@@ -260,6 +293,10 @@ def main(argv=None):
     pr = sub.add_parser("run")
     pr.add_argument("preset")
     pr.add_argument("--outdir", default="out")
+    pr.add_argument("--sweep", default=None, metavar="FIELD=V1,V2,...",
+                    help="run the preset once per value (reference-style "
+                         "grid sweep), writing per-grid files + "
+                         "sweep_metrics.json")
     pb = sub.add_parser("bench")
     pb.add_argument("--nx", type=int, default=0)
     pb.add_argument("--steps", type=int, default=200)

@@ -163,6 +163,13 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
         den = -(kx[:, None] ** 2) - ky[None, :] ** 2
     else:
         raise ValueError(f"unknown eigenvalue mode {eigen!r}")
+    # Explicit mean-mode guard: the reference's eps trick keeps den[0,0]
+    # nonzero only in fp64 (cos(1e-6) == 1.0 exactly in fp32, giving
+    # 0/0 = NaN that the subsequent ifft spreads everywhere); e[0,0] is
+    # zeroed, so den[0,0] is arbitrary — pin it to 1.
+    nzx = jnp.arange(nx)[:, None] == 0
+    nzy = jnp.arange(ny)[None, :] == 0
+    den = jnp.where(nzx & nzy, jnp.ones((), dtype), den)
     e = zero_mean_mode(e)
     return jnp.real(ifft2(e / den, mesh))
 

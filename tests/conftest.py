@@ -4,26 +4,56 @@ Tests run on the CPU backend (JAX runs the same code paths as TPU — the
 "fake backend" for TPU-less CI), with 8 virtual devices so the multi-chip
 sharding paths in cfd_julia_tpu.parallel compile and execute without real
 hardware. fp64 is enabled for accuracy parity with the Float64 reference.
+
+TPU smoke tier: `CFD_TPU_SMOKE=1 python -m pytest tests/test_tpu_smoke.py -q`
+keeps the ambient backend (the axon TPU tunnel) instead — fp32, one chip —
+to catch backend-only breakage (no IRFFT/complex128, Mosaic compile,
+scatter semantics). Run manually when the tunnel is up.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import pytest
+
+TPU_SMOKE = os.environ.get("CFD_TPU_SMOKE") == "1"
+
+if not TPU_SMOKE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# the ambient environment pins JAX_PLATFORMS=axon (TPU tunnel); the config
-# update below overrides it reliably, the env var alone does not.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not TPU_SMOKE:
+    # the ambient environment pins JAX_PLATFORMS=axon (TPU tunnel); the
+    # config update below overrides it reliably, the env var alone does not
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Compiles dominate test runtime (execution is microseconds/step); the
 # persistent cache is keyed on HLO so re-traced-but-identical programs and
 # repeated pytest runs skip XLA compilation entirely.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+cache = "/root/.cache/jax_tpu_smoke_cache" if TPU_SMOKE \
+    else "/root/.cache/jax_test_cache"
+jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: requires a real TPU backend (CFD_TPU_SMOKE=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    skip_tpu = pytest.mark.skip(reason="TPU smoke tier: set CFD_TPU_SMOKE=1")
+    skip_cpu = pytest.mark.skip(
+        reason="CPU/virtual-device suite; not meaningful under CFD_TPU_SMOKE")
+    for item in items:
+        has_tpu = "tpu" in item.keywords
+        if has_tpu and not TPU_SMOKE:
+            item.add_marker(skip_tpu)
+        elif not has_tpu and TPU_SMOKE:
+            item.add_marker(skip_cpu)

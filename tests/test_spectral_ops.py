@@ -56,6 +56,22 @@ def test_fft_poisson_inverts_discrete_laplacian():
     np.testing.assert_allclose(sol, u, rtol=1e-9, atol=1e-10)
 
 
+def test_fft_poisson_periodic_fp32_finite():
+    """fp32 regression: cos(eps) == 1.0 exactly in float32, so the FDM
+    eigenvalue denominator used to be exactly 0 at the mean mode -> 0/0
+    NaN spread by the ifft (caught via the fp32 CLI path, round 2)."""
+    n = 32
+    dx = 2 * np.pi / n
+    x = jnp.arange(n, dtype=jnp.float32) * dx
+    f = jnp.sin(x)[:, None] * jnp.cos(x)[None, :]
+    for eigen in ("fdm", "spectral"):
+        u = spectral.fft_poisson_periodic(f, dx, dx, eigen=eigen)
+        assert np.isfinite(np.asarray(u)).all(), eigen
+        # lap(u) = f with f a (1,1) eigenmode => u = -f/2
+        np.testing.assert_allclose(np.asarray(u), np.asarray(-f / 2),
+                                   atol=1e-2)
+
+
 @pytest.mark.parametrize("n", [8, 9, 16, 33])
 def test_fft2_real_matches_complex(n):
     x = jnp.asarray(RNG.standard_normal((n, n)))

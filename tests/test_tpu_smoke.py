@@ -1,0 +1,142 @@
+"""TPU smoke tier: small fp32 runs on the REAL TPU backend.
+
+Run manually when the tunnel is up:
+
+    CFD_TPU_SMOKE=1 python -m pytest tests/test_tpu_smoke.py -q
+
+The CPU suite (tests/conftest.py pins the CPU backend) never exercises the
+TPU backend's divergences — no IRFFT, no complex128, compiled Mosaic
+(Pallas) kernels, different scatter/FFT codegen — so each family gets one
+small compiled-and-executed check here, cross-validated against the same
+program on the in-process CPU backend where possible.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    dev = jax.devices()[0]
+    assert dev.platform != "cpu", (
+        "CFD_TPU_SMOKE=1 but the default backend is CPU; "
+        "is the TPU tunnel up?")
+    return dev
+
+
+def _on_cpu(fn, *args):
+    """Run fn on the in-process CPU backend for cross-checking."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return fn(*[jax.device_put(a, cpu) for a in args])
+
+
+def test_cavity_step_matches_cpu(tpu):
+    """One cavity step (Arakawa + DST-I Poisson): TPU vs CPU backend."""
+    from cfd_julia_tpu.models import cavity
+
+    cfg = cavity.CavityConfig(nx=64, ny=64)
+    step = cavity.make_step_fn(cfg)
+    w0 = jnp.zeros((65, 65), jnp.float32)
+    state = (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32))
+    run = lambda st: step(step(st))  # two steps so BCs feed back
+    out_tpu = jax.jit(run)(jax.device_put(state, tpu))
+    out_cpu = _on_cpu(jax.jit(run), state)
+    np.testing.assert_allclose(np.asarray(out_tpu[0]), np.asarray(out_cpu[0]),
+                               rtol=0, atol=5e-5)
+
+
+def test_cavity_matmul_poisson_matches_fst(tpu):
+    """MXU sine-matmul Poisson vs the rfft DST path, both on TPU."""
+    from cfd_julia_tpu.models import cavity
+
+    w0 = jnp.zeros((65, 65), jnp.float32)
+    state = (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32))
+    outs = {}
+    for poisson in ("fst", "matmul"):
+        cfg = cavity.CavityConfig(nx=64, ny=64, poisson=poisson)
+        step = jax.jit(cavity.make_step_fn(cfg))
+        st = state
+        for _ in range(3):
+            st = step(st)
+        outs[poisson] = np.asarray(st[1])
+    np.testing.assert_allclose(outs["matmul"], outs["fst"],
+                               rtol=0, atol=5e-5)
+
+
+def test_ps23_half_spectrum_step(tpu):
+    """Half-spectrum pseudospectral step executes on TPU (rfft2 forward,
+    packed-pair inverse — the no-IRFFT path) and matches CPU."""
+    from cfd_julia_tpu.models import vortex
+
+    cfg = vortex.VortexConfig(nx=64, ny=64, solver="ps23", dt=0.01)
+    step = vortex.make_spectral_step_half(cfg, jnp.float32)
+    w0 = vortex.initial_vorticity(cfg, jnp.float32)
+    run = jax.jit(lambda w: step(step(vortex.half_init(w))))
+    out_tpu = np.asarray(jax.device_put(run(jax.device_put(w0, tpu)), tpu))
+    out_cpu = np.asarray(_on_cpu(run, w0))
+    np.testing.assert_allclose(out_tpu, out_cpu, rtol=0, atol=1e-4)
+
+
+def test_multigrid_fp32(tpu):
+    """One V-cycle stack at 256^2 converges on TPU (red-black smoother,
+    conv transfers; Pallas smoother path if selected)."""
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    mgc = multigrid.MGConfig(tol=1e-5, max_cycles=20)
+    cfg = poisson2d.PoissonConfig(nx=256, ny=256, solver="multigrid",
+                                  problem="poly", mg=mgc)
+    _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
+    u0 = poisson2d._dirichlet_init(ue)
+    res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
+    assert float(res.rms) < 1e-4
+    assert np.isfinite(np.asarray(res.u)).all()
+
+
+def test_pallas_redblack_compiled(tpu):
+    """The fused red-black smoother compiles through Mosaic (not
+    interpret mode) and matches the XLA sweep."""
+    from cfd_julia_tpu.ops import pallas_kernels
+    from cfd_julia_tpu.poisson import iterative
+
+    n = 256
+    dx = dy = 1.0 / n
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    mr, mb = iterative.color_masks(n, n, jnp.float32)
+    ref = iterative.redblack_sweep(u, f, dx, dy, mr, mb)
+    out = pallas_kernels.redblack_sweep_fused(u, f, dx, dy)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_euler_sod_fp32(tpu):
+    """Euler HLLC Sod tube at the ch. 10 config stays physical on TPU."""
+    from cfd_julia_tpu.models import euler1d
+
+    cfg = euler1d.EulerConfig(nx=1024, t_final=0.05, solver="hllc")
+    res = euler1d.solve(cfg, jnp.float32)
+    rho, u, p, _ = euler1d.primitives_from_result(res, cfg.gamma)
+    assert float(jnp.min(rho)) > 0 and float(jnp.min(p)) > 0
+    assert np.isfinite(np.asarray(res.q)).all()
+
+
+def test_fp32_tgv_error(tpu):
+    """fp32 TGV decay error on TPU stays near the fp64 CPU value
+    (spectral solver: CN time error ~8.5e-6 at 64^2 in fp64; fp32 adds
+    roundoff -> allow 5e-5)."""
+    from cfd_julia_tpu.models import vortex
+
+    cfg = vortex.VortexConfig(nx=64, ny=64, solver="ps23", dt=0.01,
+                              t_final=1.0, re=10.0, ic="tgv", ns=1)
+    res = vortex.solve(cfg, jnp.float32)
+    l2, _ = vortex.tgv_error(cfg, res)
+    assert float(l2) < 5e-5, float(l2)
