@@ -1,0 +1,227 @@
+"""TPU candidate microbench: measures every formulation pair so the
+auto-selection heuristics (_pick_smoother, _pick_transfers, cavity
+poisson=, spectral full-vs-half) are set by data, not guesswork.
+
+    python benchmarks/tpu_microbench.py [--sizes small] [--only NAME]
+
+Timing methodology (CLAUDE.md / memory tpu-env-quirks): every measured
+region is a lax.scan window under one jit, synced by pulling a scalar to
+the host; inputs are perturbed between repeats so the remote execution
+cache cannot serve a stale result.  One JSON line per measurement.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+if os.environ.get("JAX_PLATFORMS"):  # env var alone is not honored
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timed(name, fn, x, iters=20, repeats=3):
+    """Time `iters` applications of fn under one scan; min over repeats."""
+    run = jax.jit(lambda x0: lax.scan(
+        lambda c, _: (fn(c), 0.0), x0, None, length=iters)[0])
+    out = run(x)                     # compile + warm
+    jax.tree.map(lambda a: a.block_until_ready(), out)
+    best = float("inf")
+    for r in range(repeats):
+        xr = jax.tree.map(lambda a: a * (1.0 + 1e-6 * (r + 1)), x)
+        float(jnp.abs(jax.tree.leaves(xr)[0].ravel()[0]))  # sync the perturb
+        t0 = time.perf_counter()
+        out = run(xr)
+        s = sum(float(jnp.abs(a).sum()) for a in jax.tree.leaves(out))
+        dt = (time.perf_counter() - t0) / iters
+        best = min(best, dt)
+        assert np.isfinite(s), name
+    print(json.dumps({"bench": name, "ms": round(best * 1e3, 4)}),
+          flush=True)
+    return best
+
+
+def scan_self(fn):
+    """Wrap an op as state -> state for scan timing (same-shape in/out)."""
+    return fn
+
+
+def bench_mg_transfers(n):
+    from cfd_julia_tpu.poisson import iterative, multigrid
+
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    r = r * iterative.interior_mask(n, n, jnp.float32)
+    uc = jnp.asarray(
+        rng.standard_normal((n // 2 + 1, n // 2 + 1)), jnp.float32)
+    # round-trip prolong(restrict(.)) keeps shapes scan-stable
+    for name, rf in (("conv", multigrid.restriction),
+                     ("matmul", multigrid.restriction_matmul),
+                     ("reshape", multigrid.restriction_reshape)):
+        timed(f"restrict_{name}_{n}",
+              lambda x, rf=rf: multigrid.prolongation(rf(x)), r, iters=10)
+    for name, pf in (("conv", multigrid.prolongation),
+                     ("matmul", multigrid.prolongation_matmul)):
+        timed(f"prolong_{name}_{n}",
+              lambda x, pf=pf: multigrid.restriction(pf(x)), uc, iters=10)
+
+
+def bench_mg_vcycle(n):
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    for transfers in ("conv", "matmul", "reshape"):
+        for smoother in ("xla", "pallas"):
+            mgc = multigrid.MGConfig(tol=1e-30, max_cycles=1,
+                                     transfers=transfers)
+            cfg = poisson2d.PoissonConfig(nx=n, ny=n, solver="multigrid",
+                                          problem="poly", mg=mgc)
+            _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
+            u0 = poisson2d._dirichlet_init(ue)
+            levels = multigrid._build_levels(n, n, cfg.dx, cfg.dy, 0)
+            masks = [multigrid.color_masks(l[0], l[1], jnp.float32)
+                     for l in levels]
+            imasks = [multigrid.interior_mask(l[0], l[1], jnp.float32)
+                      for l in levels]
+            impls = [smoother if min(l[0], l[1]) >= 512 else "xla"
+                     for l in levels]
+            try:
+                timed(f"vcycle_{transfers}_{smoother}_{n}",
+                      lambda u: multigrid.v_cycle(u, f, levels, masks,
+                                                  imasks, mgc, impls),
+                      u0, iters=5)
+            except Exception as e:
+                print(json.dumps({"bench": f"vcycle_{transfers}_"
+                                  f"{smoother}_{n}", "error": repr(e)[:200]}),
+                      flush=True)
+
+
+def bench_cavity(n):
+    from cfd_julia_tpu.models import cavity
+
+    w0 = jnp.zeros((n + 1, n + 1), jnp.float32)
+    for poisson in ("fst", "matmul"):
+        cfg = cavity.CavityConfig(nx=n, ny=n, dt=2e-5, poisson=poisson)
+        step = cavity.make_step_fn(cfg)
+        timed(f"cavity_{poisson}_{n}", step,
+              (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32)),
+              iters=50)
+
+
+def bench_ps23(n):
+    from cfd_julia_tpu.models import vortex
+    from cfd_julia_tpu.ops import spectral
+
+    cfg = vortex.VortexConfig(nx=n, ny=n, solver="ps23", dt=1e-3)
+    w0 = vortex.initial_vorticity(cfg, jnp.float32)
+    full = vortex.make_spectral_step(cfg, jnp.float32)
+    half = vortex.make_spectral_step_half(cfg, jnp.float32)
+    wf = spectral.zero_mean_mode(jnp.fft.fft2(w0.astype(jnp.complex64)))
+    timed(f"ps23_full_{n}", full, wf, iters=10)
+    timed(f"ps23_half_{n}", half, vortex.half_init(w0), iters=10)
+
+
+def bench_pallas_rhs(n):
+    from cfd_julia_tpu.models import vortex
+    from cfd_julia_tpu.ops import arakawa, pallas_kernels
+
+    cfg = vortex.VortexConfig(nx=n, ny=n)
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    dx = dy = cfg.dx
+    try:
+        ref = arakawa.vorticity_rhs(w, s, dx, dy, 1000.0)
+        out = pallas_kernels.arakawa_rhs_fused(w, s, dx, dy, 1000.0)
+        err = float(jnp.abs(out - ref).max())
+        print(json.dumps({"bench": f"arakawa_fused_err_{n}", "val": err}),
+              flush=True)
+        timed(f"arakawa_xla_{n}",
+              lambda ws: (ws[0] + 1e-9 * arakawa.vorticity_rhs(
+                  ws[0], ws[1], dx, dy, 1000.0), ws[1]), (w, s), iters=20)
+        timed(f"arakawa_pallas_{n}",
+              lambda ws: (ws[0] + 1e-9 * pallas_kernels.arakawa_rhs_fused(
+                  ws[0], ws[1], dx, dy, 1000.0), ws[1]), (w, s), iters=20)
+    except Exception as e:
+        print(json.dumps({"bench": f"arakawa_pallas_{n}",
+                          "error": repr(e)[:300]}), flush=True)
+
+
+def bench_euler(n):
+    from cfd_julia_tpu.models import euler1d
+    from cfd_julia_tpu.ops import pallas_kernels
+
+    cfg = euler1d.EulerConfig(nx=n, solver="hllc")
+    _, q0 = euler1d.sod_initial_state(cfg, jnp.float32)
+    rhs = euler1d.make_rhs(cfg)
+    timed(f"euler_xla_{n}", lambda q: q + 1e-9 * rhs(q), q0, iters=50)
+    try:
+        out = pallas_kernels.euler_rhs_fused(q0, cfg.gamma, cfg.dx, "hllc")
+        ref = rhs(q0)
+        err = float(jnp.abs(out - ref).max())
+        print(json.dumps({"bench": f"euler_fused_err_{n}", "val": err}),
+              flush=True)
+        timed(f"euler_pallas_{n}",
+              lambda q: q + 1e-9 * pallas_kernels.euler_rhs_fused(
+                  q, cfg.gamma, cfg.dx, "hllc"), q0, iters=50)
+    except Exception as e:
+        print(json.dumps({"bench": f"euler_pallas_{n}",
+                          "error": repr(e)[:300]}), flush=True)
+
+
+def bench_dst(n):
+    from cfd_julia_tpu.ops import spectral
+    from cfd_julia_tpu.poisson import direct
+
+    rng = np.random.default_rng(2)
+    f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    dx = 1.0 / n
+    timed(f"fst_rfft_{n}", lambda x: direct.solve_fst(x, dx, dx), f,
+          iters=20)
+    timed(f"fst_matmul_{n}",
+          lambda x: direct.solve_fst_matmul_padded(x, n, n, dx, dx), f,
+          iters=20)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="full", choices=["small", "full"])
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    small = args.sizes == "small"
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    jobs = [
+        ("dst", bench_dst, 256 if small else 1024),
+        ("cavity", bench_cavity, 256 if small else 1024),
+        ("ps23", bench_ps23, 256 if small else 2048),
+        ("mg_transfers", bench_mg_transfers, 512 if small else 4096),
+        ("mg_vcycle", bench_mg_vcycle, 512 if small else 4096),
+        ("pallas_rhs", bench_pallas_rhs, 256 if small else 2048),
+        ("euler", bench_euler, 1024 if small else 8192),
+    ]
+    for name, fn, size in jobs:
+        if args.only and args.only != name:
+            continue
+        try:
+            fn(size)
+        except Exception as e:
+            print(json.dumps({"bench": name, "error": repr(e)[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

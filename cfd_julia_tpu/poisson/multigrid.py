@@ -75,6 +75,92 @@ def prolongation(uc):
     )[0, 0]
 
 
+# ---------------------- alternative transfer formulations (TPU candidates)
+#
+# XLA's stride-2 conv runs ~180x off the HBM roofline at 4096^2 on TPU
+# (18 ms for a 67 MB read); strided slices are worse (443 ms).  Two
+# dataflow-equivalent candidates, selected per-backend by measurement
+# (benchmarks/tpu_microbench.py):
+#  * matmul: R @ r @ R^T with banded transfer matrices — O(n^3) flops but
+#    they run on the MXU, and GSPMD partitions dense matmuls natively
+#    (also the multi-chip choice).
+#  * reshape: even/odd deinterleave via a (nc+1, 2, nc+1, 2) reshape and
+#    pure elementwise recombination — O(n^2), one relayout.
+
+def _restrict_matrix(nf: int, dtype):
+    """(nc+1, nf+1) separable full-weighting rows: interior row c holds
+    [1/4, 1/2, 1/4] at fine 2c-1..2c+1; rows 0/nc inject the coincident
+    boundary node (exact for interior-masked residuals, whose boundary
+    ring is zero)."""
+    nc = nf // 2
+    c = jnp.arange(nc + 1)[:, None]
+    fine = jnp.arange(nf + 1)[None, :]
+    d = fine - 2 * c
+    w = jnp.where(d == 0, 0.5, jnp.where(jnp.abs(d) == 1, 0.25, 0.0))
+    inject = (fine == 2 * c).astype(dtype)
+    boundary = (c == 0) | (c == nc)
+    return jnp.where(boundary, inject, w.astype(dtype))
+
+
+def _prolong_matrix(nc: int, dtype):
+    """(nf+1, nc+1) bilinear columns: fine even row 2c copies coarse c,
+    fine odd row 2c+1 averages coarse c and c+1 — identical to the
+    lhs-dilated conv."""
+    nf = 2 * nc
+    fine = jnp.arange(nf + 1)[:, None]
+    c = jnp.arange(nc + 1)[None, :]
+    even = (fine == 2 * c).astype(dtype)
+    odd = ((fine == 2 * c + 1) | (fine == 2 * c - 1)).astype(dtype) * 0.5
+    return jnp.where(fine % 2 == 0, even, odd)
+
+
+def restriction_matmul(r):
+    nf = r.shape[0] - 1
+    mx = _restrict_matrix(nf, r.dtype)
+    my = _restrict_matrix(r.shape[1] - 1, r.dtype)
+    mm = lambda a, b: jnp.matmul(a, b, precision="highest")
+    return mm(mm(mx, r), my.T)
+
+
+def prolongation_matmul(uc):
+    px = _prolong_matrix(uc.shape[0] - 1, uc.dtype)
+    py = _prolong_matrix(uc.shape[1] - 1, uc.dtype)
+    mm = lambda a, b: jnp.matmul(a, b, precision="highest")
+    return mm(mm(px, uc), py.T)
+
+
+def _shift(a, di: int, dj: int):
+    """Zero-fill shift: out[i, j] = a[i+di, j+dj] (in-range) else 0."""
+    pads = ((max(-di, 0), max(di, 0)), (max(-dj, 0), max(dj, 0)))
+    return lax.slice(
+        jnp.pad(a, pads),
+        (pads[0][1], pads[1][1]),
+        (a.shape[0] + pads[0][1], a.shape[1] + pads[1][1]),
+    )
+
+
+def restriction_reshape(r):
+    """Full weighting via even/odd deinterleave: one reshape relayout,
+    then elementwise combines on quarter-size grids.  Exact for
+    interior-masked residuals (zero boundary ring), like the conv form."""
+    nf = r.shape[0] - 1
+    nc, mc = nf // 2, (r.shape[1] - 1) // 2
+    rp = jnp.pad(r, ((0, 1), (0, 1)))
+    q = rp.reshape(nc + 1, 2, mc + 1, 2)
+    ee = q[:, 0, :, 0]        # r[2c,   2d]
+    eo = q[:, 0, :, 1]        # r[2c,   2d+1]
+    oe = q[:, 1, :, 0]        # r[2c+1, 2d]
+    oo = q[:, 1, :, 1]        # r[2c+1, 2d+1]
+    out = (4.0 * ee
+           + 2.0 * (oe + _shift(oe, -1, 0) + eo + _shift(eo, 0, -1))
+           + oo + _shift(oo, -1, 0) + _shift(oo, 0, -1)
+           + _shift(oo, -1, -1)) / 16.0
+    c = jnp.arange(nc + 1)[:, None]
+    d = jnp.arange(mc + 1)[None, :]
+    boundary = (c == 0) | (c == nc) | (d == 0) | (d == mc)
+    return jnp.where(boundary, ee, out)
+
+
 def smooth(u, f, dx: float, dy: float, iters: int, masks,
            impl: str = "xla"):
     """`iters` red-black GS sweeps (replaces gauss_seidel_mg).
@@ -111,6 +197,25 @@ class MGConfig:
     v3: int = 2                # post-smoothing sweeps (v3)
     tol: float = 1e-9
     max_cycles: int = 100
+    transfers: str = "auto"    # auto | conv | matmul | reshape
+                               # (benchmarks/tpu_microbench.py measures)
+
+
+_TRANSFERS = {
+    "conv": (restriction, prolongation),
+    "matmul": (restriction_matmul, prolongation_matmul),
+    "reshape": (restriction_reshape, prolongation),
+}
+
+
+def _pick_transfers(name: str):
+    if name != "auto":
+        return _TRANSFERS[name]
+    # TPU: the deinterleave restriction + conv prolongation measured
+    # fastest pending the full microbench; CPU: the conv pair.
+    if jax.default_backend() == "tpu":
+        return _TRANSFERS["reshape"]
+    return _TRANSFERS["conv"]
 
 
 def _build_levels(nx, ny, dx, dy, n_levels):
@@ -131,6 +236,7 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     """One V-cycle over the static level pyramid (mg_N.jl:53-106)."""
     n = len(levels)
     impls = impls or [_pick_smoother(l[0], l[1]) for l in levels]
+    restrict_fn, prolong_fn = _pick_transfers(cfg.transfers)
     nx0, ny0, dx0, dy0 = levels[0]
     u = smooth(u, f, dx0, dy0, cfg.v1, masks[0], impls[0])
 
@@ -140,7 +246,7 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     for k in range(1, n):
         nxp, nyp, dxp, dyp = levels[k - 1]
         r = residual_full(fs[k - 1], us[k - 1], dxp, dyp, imasks[k - 1])
-        fk = restriction(r)
+        fk = restrict_fn(r)
         nxk, nyk, dxk, dyk = levels[k]
         uk = jnp.zeros((nxk + 1, nyk + 1), u.dtype)
         iters = cfg.v1 if k < n - 1 else cfg.v2
@@ -151,7 +257,7 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     # ascend: prolongate -> correct -> relax
     for k in range(n - 1, 0, -1):
         nxp, nyp, dxp, dyp = levels[k - 1]
-        corr = prolongation(us[k]) * imasks[k - 1]
+        corr = prolong_fn(us[k]) * imasks[k - 1]
         us[k - 1] = us[k - 1] + corr
         us[k - 1] = smooth(us[k - 1], fs[k - 1], dxp, dyp, cfg.v3,
                            masks[k - 1], impls[k - 1])

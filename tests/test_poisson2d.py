@@ -116,3 +116,43 @@ def test_two_level_multigrid_preset():
     hist = np.asarray(res.history)
     rel = hist[~np.isnan(hist[:, 0]), 2]
     assert rel[-1] < rel[0] * 1e-3
+
+
+def test_transfer_variants_match():
+    """matmul / reshape transfer formulations are element-identical to the
+    conv forms on interior-masked residuals (the only MG inputs)."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.poisson import iterative, multigrid
+
+    rng = np.random.default_rng(11)
+    for nf in (16, 32):
+        r = jnp.asarray(rng.standard_normal((nf + 1, nf + 1)))
+        r = r * iterative.interior_mask(nf, nf, r.dtype)
+        ref = np.asarray(multigrid.restriction(r))
+        np.testing.assert_allclose(
+            np.asarray(multigrid.restriction_matmul(r)), ref,
+            rtol=1e-13, atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(multigrid.restriction_reshape(r)), ref,
+            rtol=1e-13, atol=1e-13)
+        uc = jnp.asarray(rng.standard_normal((nf // 2 + 1, nf // 2 + 1)))
+        np.testing.assert_allclose(
+            np.asarray(multigrid.prolongation_matmul(uc)),
+            np.asarray(multigrid.prolongation(uc)), rtol=1e-13, atol=1e-13)
+
+
+def test_mg_transfer_configs_converge():
+    """Full V-cycle solve under each transfer implementation."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    for transfers in ("conv", "matmul", "reshape"):
+        mgc = multigrid.MGConfig(tol=1e-9, max_cycles=30,
+                                 transfers=transfers)
+        cfg = poisson2d.PoissonConfig(nx=64, ny=64, solver="multigrid",
+                                      problem="poly", mg=mgc)
+        _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float64)
+        u0 = poisson2d._dirichlet_init(ue)
+        res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
+        assert float(res.rms / res.rms0) <= 1e-9, transfers
