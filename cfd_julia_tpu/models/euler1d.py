@@ -29,6 +29,8 @@ from cfd_julia_tpu.stepping import loop, ssprk3
 class EulerConfig:
     nx: int = 256
     solver: str = "roe"          # roe | hllc | rusanov
+    rhs_impl: str = "xla"        # xla | pallas (single-VMEM-block fused
+                                 # WENO+Riemann kernel, ops.pallas_kernels)
     dt: float = 1e-4
     t_final: float = 0.2
     ns: int = 20
@@ -77,6 +79,11 @@ _RIEMANN = {"roe": riemann.roe, "hllc": riemann.hllc, "rusanov": riemann.rusanov
 def make_rhs(cfg: EulerConfig):
     dx = cfg.dx
     gamma = cfg.gamma
+    if cfg.rhs_impl == "pallas":
+        from cfd_julia_tpu.ops import pallas_kernels
+
+        return lambda q: pallas_kernels.euler_rhs_fused(
+            q, gamma, dx, cfg.solver)
     solver = _RIEMANN[cfg.solver]
     kwargs = (
         {"wavespeed": cfg.rusanov_wavespeed} if cfg.solver == "rusanov" else {}

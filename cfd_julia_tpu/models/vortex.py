@@ -50,6 +50,7 @@ class VortexConfig:
     ns: int = 10             # snapshots
     ic: str = "vm"           # vm | tgv
     tgv_n: int = 4
+    rhs_impl: str = "xla"    # xla | pallas (fdm solver's Arakawa kernel)
 
     @property
     def dx(self) -> float:
@@ -105,10 +106,15 @@ def initial_vorticity(cfg: VortexConfig, dtype):
 
 # ----------------------------------------------------------------- FDM
 
-def fdm_rhs(w, dx, dy, re, mesh=None):
+def fdm_rhs(w, dx, dy, re, mesh=None, impl: str = "xla"):
     """vm_rhs: psi from FFT Poisson (FDM eigenvalues), Arakawa + viscous
-    Laplacian (Common.jl:132-182)."""
+    Laplacian (Common.jl:132-182).  impl="pallas" runs the fused
+    single-slab Jacobian+Laplacian kernel (ops.pallas_kernels)."""
     s = spectral.fft_poisson_periodic(-w, dx, dy, eigen="fdm", mesh=mesh)
+    if impl == "pallas":
+        from cfd_julia_tpu.ops import pallas_kernels
+
+        return pallas_kernels.arakawa_rhs_fused(w, s, dx, dy, re)
     return arakawa.vorticity_rhs(w, s, dx, dy, re)
 
 
@@ -422,7 +428,8 @@ def solve(cfg: VortexConfig, dtype=None) -> VortexResult:
     every = max(1, cfg.nt // cfg.ns)
 
     if cfg.solver == "fdm":
-        rhs = lambda w: fdm_rhs(w, cfg.dx, cfg.dy, cfg.re)
+        rhs = lambda w: fdm_rhs(w, cfg.dx, cfg.dy, cfg.re,
+                                impl=cfg.rhs_impl)
         step = lambda w: ssprk3.ssprk3_step(rhs, w, cfg.dt)
         w, snaps = loop.run_steps_with_snapshots(step, w0, cfg.nt, every)
         snapshots = jnp.concatenate([w0[None], snaps], axis=0)
