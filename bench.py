@@ -33,9 +33,9 @@ JULIA_BASELINE_STEPS_PER_SEC = 2.5  # analytic estimate, see docstring
 HEADLINE_METRIC = "cavity_1024_steps_per_sec"
 
 
-def _emit(value, vs_baseline, **extra):
+def _emit(value, vs_baseline, metric=HEADLINE_METRIC, **extra):
     print(json.dumps({
-        "metric": HEADLINE_METRIC,
+        "metric": metric,
         "value": value,
         "unit": "steps/s",
         "vs_baseline": vs_baseline,
@@ -161,17 +161,12 @@ def main(argv=None):
               "remote TPU tunnel likely down)")
         return 0
 
-    # Persistent compile cache: remote-TPU compiles take minutes; warm
-    # entries make --quick re-runs near-instant.  Separate dir from the
-    # test cache (cross-backend entries spam machine-feature warnings).
+    # Persistent bench compile cache (separate from the test cache) +
+    # reliable JAX_PLATFORMS handling — see cfd_julia_tpu.jaxconfig.
     import jax
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:  # env var alone is not honored; mirror it into the config
-        jax.config.update("jax_platforms", plat)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_bench_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from cfd_julia_tpu.jaxconfig import configure_jax
+
+    configure_jax(cache_dir="~/.cache/jax_bench_cache", min_compile_secs=1.0)
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -185,10 +180,15 @@ def main(argv=None):
     print(f"# cavity {args.nx}^2 fp32: {cavity_sps:.1f} steps/s",
           file=sys.stderr)
 
-    # headline first (secondaries compile for minutes and must never block it)
-    extra = {} if args.nx == 1024 else {"nx": args.nx}
+    # headline first (secondaries compile for minutes and must never block
+    # it); a non-headline grid reports under its OWN metric name so no
+    # consumer can record it as the 1024^2 number, and --quick is marked
+    metric = HEADLINE_METRIC if args.nx == 1024 \
+        else f"cavity_{args.nx}_steps_per_sec"
+    extra = {"quick": True} if args.quick else {}
     _emit(round(cavity_sps, 2),
-          round(cavity_sps / JULIA_BASELINE_STEPS_PER_SEC, 1), **extra)
+          round(cavity_sps / JULIA_BASELINE_STEPS_PER_SEC, 1),
+          metric=metric, **extra)
 
     if args.quick:
         return 0

@@ -23,11 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+from cfd_julia_tpu.jaxconfig import configure_jax
+
+configure_jax(cache_dir="~/.cache/jax_test_cache", platform="cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

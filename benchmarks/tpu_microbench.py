@@ -24,11 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-if os.environ.get("JAX_PLATFORMS"):  # env var alone is not honored
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_bench_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from cfd_julia_tpu.jaxconfig import configure_jax  # noqa: E402
+
+configure_jax(cache_dir="~/.cache/jax_bench_cache", min_compile_secs=1.0)
 
 
 def timed(name, fn, x, iters=20, repeats=3):
@@ -39,7 +37,11 @@ def timed(name, fn, x, iters=20, repeats=3):
     jax.tree.map(lambda a: a.block_until_ready(), out)
     best = float("inf")
     for r in range(repeats):
-        xr = jax.tree.map(lambda a: a * (1.0 + 1e-6 * (r + 1)), x)
+        # ADDITIVE perturbation: multiplicative is a no-op on all-zero
+        # states (e.g. the cavity IC) and identical inputs can be served
+        # from the remote execution cache (tpu-env-quirks)
+        eps = 1e-6 * (r + 1)
+        xr = jax.tree.map(lambda a: a + jnp.asarray(eps, a.dtype), x)
         float(jnp.abs(jax.tree.leaves(xr)[0].ravel()[0]))  # sync the perturb
         t0 = time.perf_counter()
         out = run(xr)
@@ -50,11 +52,6 @@ def timed(name, fn, x, iters=20, repeats=3):
     print(json.dumps({"bench": name, "ms": round(best * 1e3, 4)}),
           flush=True)
     return best
-
-
-def scan_self(fn):
-    """Wrap an op as state -> state for scan timing (same-shape in/out)."""
-    return fn
 
 
 def bench_mg_transfers(n):

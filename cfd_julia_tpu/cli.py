@@ -79,7 +79,13 @@ def cmd_run(args, extra):
         all_metrics = []
         for point in zip(*sweep.values()):
             pt = dict(zip(sweep.keys(), point))
-            m = run.run_preset(args.preset, outdir=args.outdir,
+            # per-point subdirectory: several runners write fixed-name
+            # files (field_final.txt, metrics.json) that a shared outdir
+            # would clobber; reference-style per-grid names still land
+            # next to them
+            sub = "/".join([args.outdir,
+                            "_".join(f"{k}{v}" for k, v in pt.items())])
+            m = run.run_preset(args.preset, outdir=sub,
                                **{**overrides, **pt})
             m.update(pt)
             all_metrics.append(m)
@@ -105,9 +111,10 @@ def cmd_bench(args):
         sps = bench_mod.bench_cavity(nx=args.nx, steps=args.steps)
         print(json.dumps({"metric": f"cavity_{args.nx}_steps_per_sec",
                           "value": round(sps, 2), "unit": "steps/s"}))
-    else:
-        bench_mod.main()
-    return 0
+        return 0
+    # explicit empty argv: bench_mod.main parses sys.argv otherwise, which
+    # still holds this CLI's subcommand and errors
+    return bench_mod.main([])
 
 
 def cmd_validate(_args):
@@ -281,11 +288,9 @@ def main(argv=None):
     # Honor JAX_PLATFORMS if the user set it: the env var alone is not
     # reliably respected once the remote-TPU plugin registers, and any
     # module that materializes a constant then hangs on a dead tunnel.
-    import os
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
-        jax.config.update("jax_platforms", plat)
+    from cfd_julia_tpu.jaxconfig import configure_jax
+
+    configure_jax(cache_dir=None)
 
     parser = argparse.ArgumentParser(prog="cfd_julia_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -295,8 +300,8 @@ def main(argv=None):
     pr.add_argument("--outdir", default="out")
     pr.add_argument("--sweep", default=None, metavar="FIELD=V1,V2,...",
                     help="run the preset once per value (reference-style "
-                         "grid sweep), writing per-grid files + "
-                         "sweep_metrics.json")
+                         "grid sweep): per-point subdirectories + "
+                         "aggregated sweep_metrics.json")
     pb = sub.add_parser("bench")
     pb.add_argument("--nx", type=int, default=0)
     pb.add_argument("--steps", type=int, default=200)

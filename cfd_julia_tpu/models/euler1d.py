@@ -83,7 +83,8 @@ def make_rhs(cfg: EulerConfig):
         from cfd_julia_tpu.ops import pallas_kernels
 
         return lambda q: pallas_kernels.euler_rhs_fused(
-            q, gamma, dx, cfg.solver)
+            q, gamma, dx, cfg.solver,
+            rusanov_wavespeed=cfg.rusanov_wavespeed)
     solver = _RIEMANN[cfg.solver]
     kwargs = (
         {"wavespeed": cfg.rusanov_wavespeed} if cfg.solver == "rusanov" else {}

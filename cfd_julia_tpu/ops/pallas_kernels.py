@@ -241,7 +241,8 @@ def arakawa_rhs_fused(w, s, dx: float, dy: float, re: float,
 # ------------------------------------------------------------- Euler RHS
 
 def euler_rhs_fused(q, gamma: float, dx: float, solver: str = "hllc",
-                    interpret: bool | None = None):
+                    interpret: bool | None = None,
+                    rusanov_wavespeed: str = "roe"):
     """The COMPLETE Euler RHS (mirror WENO-5 reconstruction of both
     interface states -> Euler fluxes -> Riemann flux -> divergence) as one
     single-block Pallas kernel: the (3, nx) state and every intermediate
@@ -254,6 +255,8 @@ def euler_rhs_fused(q, gamma: float, dx: float, solver: str = "hllc",
 
     riemann_fn = {"roe": riemann.roe, "hllc": riemann.hllc,
                   "rusanov": riemann.rusanov}[solver]
+    kwargs = ({"wavespeed": rusanov_wavespeed} if solver == "rusanov"
+              else {})
 
     def kernel(q_ref, out_ref):
         qq = q_ref[:, :]
@@ -261,7 +264,7 @@ def euler_rhs_fused(q, gamma: float, dx: float, solver: str = "hllc",
         qR = weno.reconstruct_right(qq, "mirror")
         fL = riemann.flux(qL, gamma)
         fR = riemann.flux(qR, gamma)
-        f = riemann_fn(qL, qR, fL, fR, gamma)
+        f = riemann_fn(qL, qR, fL, fR, gamma, **kwargs)
         out_ref[:, :] = -(f[:, 1:] - f[:, :-1]) / dx
 
     return pl.pallas_call(

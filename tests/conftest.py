@@ -26,20 +26,19 @@ if not TPU_SMOKE:
 
 import jax  # noqa: E402
 
-if not TPU_SMOKE:
-    # the ambient environment pins JAX_PLATFORMS=axon (TPU tunnel); the
-    # config update below overrides it reliably, the env var alone does not
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+from cfd_julia_tpu.jaxconfig import configure_jax  # noqa: E402
 
 # Compiles dominate test runtime (execution is microseconds/step); the
 # persistent cache is keyed on HLO so re-traced-but-identical programs and
-# repeated pytest runs skip XLA compilation entirely.
-cache = "/root/.cache/jax_tpu_smoke_cache" if TPU_SMOKE \
-    else "/root/.cache/jax_test_cache"
-jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# repeated pytest runs skip XLA compilation entirely.  CPU suite pins the
+# CPU backend (the env var alone is not honored — see jaxconfig); the TPU
+# smoke tier keeps the ambient backend and its own cache dir.
+if TPU_SMOKE:
+    configure_jax(cache_dir="~/.cache/jax_tpu_smoke_cache",
+                  mirror_platform_env=False)
+else:
+    configure_jax(cache_dir="~/.cache/jax_test_cache", platform="cpu")
+    jax.config.update("jax_enable_x64", True)
 
 
 def pytest_configure(config):
