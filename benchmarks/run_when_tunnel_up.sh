@@ -1,0 +1,40 @@
+#!/usr/bin/env bash
+# One-shot TPU measurement battery: run this the moment the axon tunnel is
+# back.  Order matters — cheapest/highest-value first, so a tunnel flap
+# mid-run still leaves usable data.  Logs land in benchmarks/results/.
+set -uo pipefail
+
+cd "$(dirname "$0")/.."
+OUT=benchmarks/results
+mkdir -p "$OUT"
+STAMP=$(date -u +%Y%m%dT%H%M%S)
+
+probe() {
+    timeout 180 python -c "import jax; print(jax.devices()[0])" 2>/dev/null
+}
+
+echo "== probing tunnel =="
+if ! probe; then
+    echo "tunnel down; aborting" >&2
+    exit 1
+fi
+
+echo "== 1. headline bench (quick) =="
+timeout 1200 python bench.py --quick 2>&1 | tee "$OUT/bench_quick_$STAMP.log"
+
+echo "== 2. candidate microbench (small sizes first) =="
+timeout 1800 python benchmarks/tpu_microbench.py --sizes small 2>&1 \
+    | tee "$OUT/microbench_small_$STAMP.log"
+
+echo "== 3. TPU smoke tier =="
+CFD_TPU_SMOKE=1 timeout 1800 python -m pytest tests/test_tpu_smoke.py -q 2>&1 \
+    | tee "$OUT/tpu_smoke_$STAMP.log"
+
+echo "== 4. candidate microbench (north-star sizes) =="
+timeout 3600 python benchmarks/tpu_microbench.py 2>&1 \
+    | tee "$OUT/microbench_full_$STAMP.log"
+
+echo "== 5. full bench (headline + secondaries) =="
+timeout 3600 python bench.py 2>&1 | tee "$OUT/bench_full_$STAMP.log"
+
+echo "== done; next: set auto-selection heuristics from $OUT/microbench_full_$STAMP.log =="
