@@ -10,13 +10,15 @@ returns early through the remote-TPU tunnel). dt is set diffusively stable
 for 1024^2 at Re=100 (nu dt/dx^2 <= 0.2 -> dt = 2e-5) and the result is
 checked finite.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md) and Julia is
-not in this image, so the denominator is an analytic estimate of the
-reference script at 1024^2 on one CPU core: the cavity step is dominated
-by 6 DST-I transforms of 1023^2 (lid_driven_cavity.jl:80-110), ~5 n^2
-log2 n flops each => ~6e8 flops/step; at the ~2.5 GF/s FFTW single-thread
-rate that is ~0.35 s/step => ~2.5 steps/sec. (North star: >= 100x =>
->= 250 steps/sec.)
+vs_baseline: the reference publishes no numbers and Julia is not in this
+image, so the denominator is anchored to a MEASUREMENT (BASELINE.md
+"Measured reference baseline"): the reference's own NumPy vectorized
+vortex-merger port runs 1.89 steps/s at 1024^2 on this machine's CPU
+(fair variant); the cavity step does ~half its transform work (6 real
+DST-I of 1023^2 vs 6 complex FFTs) plus the same 3 Arakawa RHS evals
+=> ~4.2 steps/s NumPy-equivalent; Julia/FFTW <= 2x faster => 5-8 steps/s.
+The divisor is the midpoint 6.5 (the emitted JSON carries the range).
+North star: >= 100x => >= 650-800 steps/sec.
 
 Secondary metrics go to stderr.
 """
@@ -29,7 +31,8 @@ import subprocess
 import sys
 import time
 
-JULIA_BASELINE_STEPS_PER_SEC = 2.5  # analytic estimate, see docstring
+# measured-anchored Julia estimate, midpoint of 5-8 steps/s (see docstring)
+JULIA_BASELINE_STEPS_PER_SEC = 6.5
 HEADLINE_METRIC = "cavity_1024_steps_per_sec"
 
 
@@ -91,20 +94,30 @@ def _timed_scan(step, state, steps: int, sync):
     return steps / dt, state
 
 
-def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None):
+def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
+                 variants=("fst", "matmul")):
+    """Best cavity throughput across Poisson implementations (the rfft
+    DST-I path vs the MXU sine-matmul path — identical numerics, verified
+    in tests); returns (steps_per_sec, winning_variant)."""
     import jax.numpy as jnp
     from cfd_julia_tpu.models import cavity
 
     dtype = dtype or jnp.float32
-
-    cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5)
-    step = cavity.make_step_fn(cfg)
-    w0 = jnp.zeros((nx + 1, nx + 1), dtype)
-    state = (w0, jnp.zeros_like(w0), jnp.zeros((), dtype))
-    sps, state = _timed_scan(step, state, steps,
-                             lambda s: float(s[0].sum()))
-    assert bool(jnp.isfinite(state[0]).all()), "cavity bench went non-finite"
-    return sps
+    best, best_impl = 0.0, None
+    for poisson in variants:
+        cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5, poisson=poisson)
+        step = cavity.make_step_fn(cfg)
+        w0 = jnp.zeros((nx + 1, nx + 1), dtype)
+        state = (w0, jnp.zeros_like(w0), jnp.zeros((), dtype))
+        sps, state = _timed_scan(step, state, steps,
+                                 lambda s: float(s[0].sum()))
+        assert bool(jnp.isfinite(state[0]).all()), \
+            f"cavity bench ({poisson}) went non-finite"
+        print(f"# cavity {nx}^2 poisson={poisson}: {sps:.1f} steps/s",
+              file=sys.stderr)
+        if sps > best:
+            best, best_impl = sps, poisson
+    return best, best_impl
 
 
 def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=None):
@@ -173,19 +186,22 @@ def main(argv=None):
 
     steps = 50 if args.quick else 200
     try:
-        cavity_sps = bench_cavity(nx=args.nx, steps=steps)
+        cavity_sps, cavity_impl = bench_cavity(nx=args.nx, steps=steps)
     except Exception as e:
         _emit(0.0, 0.0, error=f"cavity bench failed: {e!r:.300}")
         return 0
-    print(f"# cavity {args.nx}^2 fp32: {cavity_sps:.1f} steps/s",
-          file=sys.stderr)
+    print(f"# cavity {args.nx}^2 fp32 best={cavity_impl}: "
+          f"{cavity_sps:.1f} steps/s", file=sys.stderr)
 
     # headline first (secondaries compile for minutes and must never block
     # it); a non-headline grid reports under its OWN metric name so no
     # consumer can record it as the 1024^2 number, and --quick is marked
     metric = HEADLINE_METRIC if args.nx == 1024 \
         else f"cavity_{args.nx}_steps_per_sec"
-    extra = {"quick": True} if args.quick else {}
+    extra = {"baseline_steps_per_sec": "6.5 (measured-anchored, range 5-8; "
+             "see BASELINE.md)", "poisson_impl": cavity_impl}
+    if args.quick:
+        extra["quick"] = True
     _emit(round(cavity_sps, 2),
           round(cavity_sps / JULIA_BASELINE_STEPS_PER_SEC, 1),
           metric=metric, **extra)

@@ -108,9 +108,10 @@ def cmd_bench(args):
     import bench as bench_mod  # repo-root bench
 
     if args.nx:
-        sps = bench_mod.bench_cavity(nx=args.nx, steps=args.steps)
+        sps, impl = bench_mod.bench_cavity(nx=args.nx, steps=args.steps)
         print(json.dumps({"metric": f"cavity_{args.nx}_steps_per_sec",
-                          "value": round(sps, 2), "unit": "steps/s"}))
+                          "value": round(sps, 2), "unit": "steps/s",
+                          "poisson_impl": impl}))
         return 0
     # explicit empty argv: bench_mod.main parses sys.argv otherwise, which
     # still holds this CLI's subcommand and errors
