@@ -127,6 +127,28 @@ def bench_ps23(n):
     wf = spectral.zero_mean_mode(jnp.fft.fft2(w0.astype(jnp.complex64)))
     timed(f"ps23_full_{n}", full, wf, iters=10)
     timed(f"ps23_half_{n}", half, vortex.half_init(w0), iters=10)
+    cfg_mm = vortex.VortexConfig(nx=n, ny=n, solver="ps23", dt=1e-3,
+                                 fft_impl="matmul")
+    half_mm = vortex.make_spectral_step_half(cfg_mm, jnp.float32)
+    timed(f"ps23_half_mxufft_{n}", half_mm, vortex.half_init(w0), iters=10)
+
+
+def bench_fft(n):
+    """Raw transform race: XLA VPU FFT vs four-step MXU matmul FFT."""
+    from cfd_julia_tpu.ops import mxu_fft
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((n, n))
+                    + 1j * rng.standard_normal((n, n)), jnp.complex64)
+    err = float(jnp.abs(mxu_fft.fft2_matmul(x) - jnp.fft.fft2(x)).max()
+                / jnp.abs(jnp.fft.fft2(x)).max())
+    print(json.dumps({"bench": f"mxufft_rel_err_{n}", "val": err}),
+          flush=True)
+    timed(f"fft2_xla_{n}", lambda z: jnp.fft.ifft2(jnp.fft.fft2(z)), x,
+          iters=10)
+    timed(f"fft2_mxu_{n}",
+          lambda z: mxu_fft.ifft2_matmul(mxu_fft.fft2_matmul(z)), x,
+          iters=10)
 
 
 def bench_pallas_rhs(n):
@@ -202,6 +224,7 @@ def main():
     print(f"# device: {dev}", file=sys.stderr)
 
     jobs = [
+        ("fft", bench_fft, 256 if small else 2048),
         ("dst", bench_dst, 256 if small else 1024),
         ("cavity", bench_cavity, 256 if small else 1024),
         ("ps23", bench_ps23, 256 if small else 2048),

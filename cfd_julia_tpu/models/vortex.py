@@ -51,6 +51,8 @@ class VortexConfig:
     ic: str = "vm"           # vm | tgv
     tgv_n: int = 4
     rhs_impl: str = "xla"    # xla | pallas (fdm solver's Arakawa kernel)
+    fft_impl: str = "xla"    # xla | matmul (four-step MXU FFT,
+                             # ops.mxu_fft; power-of-two grids only)
 
     @property
     def dx(self) -> float:
@@ -315,15 +317,22 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
     _, _, k2h, _ = _half_wavenumbers(cfg, dtype)
     cn = _cn_consts(cfg, k2h, dtype)
 
+    if cfg.fft_impl == "matmul":
+        from cfd_julia_tpu.ops import mxu_fft
+
+        ifft2_fn, rfft2_fn = mxu_fft.ifft2_matmul, mxu_fft.rfft2_matmul
+    else:
+        ifft2_fn, rfft2_fn = jnp.fft.ifft2, jnp.fft.rfft2
+
     if cfg.solver == "hybrid":
         cdtype = precision.complex_dtype(dtype)
         head = (1.0 + 1j / k2h).astype(cdtype)
         tail = (1.0 - 1j / k2h).astype(cdtype)
 
         def jac(H):
-            z = jnp.fft.ifft2(spectral.pack_hermitian_pair(
+            z = ifft2_fn(spectral.pack_hermitian_pair(
                 head * H, tail * H, ny))
-            return jnp.fft.rfft2(
+            return rfft2_fn(
                 -arakawa.jacobian(z.real, z.imag, cfg.dx, cfg.dy))
     elif cfg.solver in ("ps32", "ps23"):
         band = _band_mask_23_half(cfg) if cfg.solver == "ps23" else None
@@ -331,18 +340,26 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
 
         if cfg.solver == "ps23":
             def jac(H):
-                z = jnp.fft.ifft2(jnp.stack([
+                z = ifft2_fn(jnp.stack([
                     spectral.pack_hermitian_pair(h1 * H, t1 * H, ny),
                     spectral.pack_hermitian_pair(h2 * H, t2 * H, ny),
                 ]))
-                return jnp.fft.rfft2(z[0].real * z[0].imag
-                                     - z[1].real * z[1].imag)
+                return rfft2_fn(z[0].real * z[0].imag
+                                - z[1].real * z[1].imag)
         else:
             nxe, nye = 3 * nx // 2, 3 * ny // 2
             scale = (nxe * nye) / (nx * ny)
             _, _, _, nyq = _half_wavenumbers(cfg, dtype)
             nyq_over_scale = nyq / scale   # fold the Nyquist zeroing
                                            # (see jacobian_ps32) + rescale
+            if cfg.fft_impl == "matmul":
+                from cfd_julia_tpu.ops import mxu_fft
+
+                ok = mxu_fft.supported(nxe) and mxu_fft.supported(nye)
+                ifft_e = mxu_fft.ifft2_matmul if ok else jnp.fft.ifft2
+                rfft_e = mxu_fft.rfft2_matmul if ok else jnp.fft.rfft2
+            else:
+                ifft_e, rfft_e = ifft2_fn, rfft2_fn
 
             def jac(H):
                 pads = jnp.stack([
@@ -351,9 +368,9 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
                     spectral.pad_32(spectral.pack_hermitian_pair(
                         h2 * H, t2 * H, ny), nxe, nye),
                 ]) * scale
-                z = jnp.fft.ifft2(pads)
-                jf = jnp.fft.rfft2(z[0].real * z[0].imag
-                                   - z[1].real * z[1].imag)
+                z = ifft_e(pads)
+                jf = rfft_e(z[0].real * z[0].imag
+                            - z[1].real * z[1].imag)
                 return spectral.truncate_32_half(jf, nx, ny) * nyq_over_scale
     else:
         raise ValueError(cfg.solver)

@@ -160,6 +160,27 @@ def test_half_spectrum_step_matches_full(solver):
                                rtol=0, atol=1e-11)
 
 
+@pytest.mark.parametrize("solver", ["hybrid", "ps32", "ps23"])
+def test_fft_impl_matmul_matches_xla(solver):
+    """The four-step MXU matmul FFT option produces the same spectral step
+    as jnp.fft to fp64 roundoff."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    w0 = jnp.asarray(rng.standard_normal((64, 64)), jnp.float64)
+    outs = {}
+    for fft_impl in ("xla", "matmul"):
+        cfg = vortex.VortexConfig(nx=64, ny=64, solver=solver, dt=0.01,
+                                  re=1000.0, fft_impl=fft_impl)
+        step = vortex.make_spectral_step_half(cfg, jnp.float64)
+        H = vortex.half_init(w0)
+        for _ in range(3):
+            H = step(H)
+        outs[fft_impl] = np.asarray(H)
+    np.testing.assert_allclose(outs["matmul"], outs["xla"],
+                               rtol=0, atol=1e-10)
+
+
 def test_vortex_merger_snapshots_and_conservation():
     """Mean vorticity stays zero (periodic integral invariant); enstrophy
     decays monotonically under viscosity."""
