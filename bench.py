@@ -95,7 +95,7 @@ def _timed_scan(step, state, steps: int, sync):
 
 
 def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
-                 variants=("fst", "matmul")):
+                 variants=("fst", "matmul", "fst_mxu")):
     """Best cavity throughput across Poisson implementations (the rfft
     DST-I path vs the MXU sine-matmul path — identical numerics, verified
     in tests); returns (steps_per_sec, winning_variant)."""

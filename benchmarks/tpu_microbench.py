@@ -108,7 +108,7 @@ def bench_cavity(n):
     from cfd_julia_tpu.models import cavity
 
     w0 = jnp.zeros((n + 1, n + 1), jnp.float32)
-    for poisson in ("fst", "matmul"):
+    for poisson in ("fst", "matmul", "fst_mxu"):
         cfg = cavity.CavityConfig(nx=n, ny=n, dt=2e-5, poisson=poisson)
         step = cavity.make_step_fn(cfg)
         timed(f"cavity_{poisson}_{n}", step,
@@ -210,6 +210,9 @@ def bench_dst(n):
           iters=20)
     timed(f"fst_matmul_{n}",
           lambda x: direct.solve_fst_matmul_padded(x, n, n, dx, dx), f,
+          iters=20)
+    timed(f"fst_mxufft_{n}",
+          lambda x: direct.solve_fst(x, dx, dx, impl="matmul"), f,
           iters=20)
 
 

@@ -39,9 +39,10 @@ class CavityConfig:
     t_final: float = 10.0
     re: float = 100.0
     bc_order: int = 2        # 1 = Hoffmann, 2 = Jensen (reference default)
-    poisson: str = "fst"     # fst (DST-I via rfft) | matmul (MXU sine
-                             # transform; same eigenvalues, n^3 vs n^2 log n
-                             # flops but runs on the systolic array)
+    poisson: str = "fst"     # fst (DST-I via rfft) | matmul (dense MXU
+                             # sine transform) | fst_mxu (DST-I via the
+                             # four-step MXU matmul FFT) — same eigenvalues
+                             # and results; selected by TPU microbench
 
     @property
     def dx(self) -> float:
@@ -179,6 +180,9 @@ def make_step_fn(cfg: CavityConfig, mesh=None):
         # interior, returns exact-zero walls — same contract as solve_fst
         solve = lambda f: direct.solve_fst_matmul_padded(
             f, cfg.nx, cfg.ny, dx, dy)
+    elif cfg.poisson == "fst_mxu":
+        # odd-extension DST through the four-step MXU FFT
+        solve = lambda f: direct.solve_fst(f, dx, dy, impl="matmul")
     else:
         solve = lambda f: direct.solve_fst(f, dx, dy, mesh=mesh)
 

@@ -176,9 +176,14 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
 
 # ----------------------------------------------------------------- DST-I
 
-def dst1(v, axis: int = -1, mesh=None):
+def dst1(v, axis: int = -1, mesh=None, impl: str = "rfft"):
     """DST-I along `axis`: X_k = 2 sum_j v_j sin(pi (j+1)(k+1) / (m+1)),
     matching FFTW's unnormalized RODFT00 on m interior points.
+
+    impl="rfft": odd extension + rfft (VPU FFT).
+    impl="matmul": same odd extension through the four-step MXU FFT
+    (ops.mxu_fft) — the transform becomes two small dense matmuls on the
+    systolic array; ~2.6x fewer flops than the dense sine matmul.
 
     With a mesh, the transform axis is made local (pencil constraint) and —
     because DST rows are independent — the non-transform axis is zero-padded
@@ -198,25 +203,32 @@ def dst1(v, axis: int = -1, mesh=None):
         v = _constrain(v, mesh, P(tuple(mesh.axis_names), None))
     z = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
     y = jnp.concatenate([z, v, z, -v[..., ::-1]], axis=-1)   # length 2(m+1)
-    X = -jnp.fft.rfft(y, axis=-1).imag[..., 1 : m + 1]
+    if impl == "matmul":
+        from cfd_julia_tpu.ops import mxu_fft
+
+        X = -mxu_fft.fft_matmul(y).imag[..., 1 : m + 1]
+    else:
+        X = -jnp.fft.rfft(y, axis=-1).imag[..., 1 : m + 1]
     X = X.astype(v.dtype)
     if n0 is not None:
         X = X[:n0]
     return jnp.moveaxis(X, -1, axis)
 
 
-def dst1_2d(v, mesh=None):
+def dst1_2d(v, mesh=None, impl: str = "rfft"):
     """2D DST-I over the last two axes (= FFTW.r2r(..., RODFT00))."""
-    return dst1(dst1(v, axis=-1, mesh=mesh), axis=-2, mesh=mesh)
+    return dst1(dst1(v, axis=-1, mesh=mesh, impl=impl),
+                axis=-2, mesh=mesh, impl=impl)
 
 
-def idst1_2d(v, norm_nx: int, norm_ny: int, mesh=None):
+def idst1_2d(v, norm_nx: int, norm_ny: int, mesh=None, impl: str = "rfft"):
     """Inverse 2D DST-I with the reference normalization /(2 nx * 2 ny)
     (fft_d.jl:22): the forward pair applied twice scales by 4 nx ny."""
-    return dst1_2d(v, mesh) / (4.0 * norm_nx * norm_ny)
+    return dst1_2d(v, mesh, impl) / (4.0 * norm_nx * norm_ny)
 
 
-def fst_poisson_dirichlet(f_interior, dx: float, dy: float, mesh=None):
+def fst_poisson_dirichlet(f_interior, dx: float, dy: float, mesh=None,
+                          impl: str = "rfft"):
     """Solve laplacian(u) = f with homogeneous Dirichlet BCs via DST-I.
 
     f_interior: (nx-1, ny-1) interior nodes of an (nx+1, ny+1) grid.
@@ -230,8 +242,8 @@ def fst_poisson_dirichlet(f_interior, dx: float, dy: float, mesh=None):
     den = (2.0 / dx**2) * (jnp.cos(jnp.pi * i / nx) - 1.0)[:, None] + (
         2.0 / dy**2
     ) * (jnp.cos(jnp.pi * j / ny) - 1.0)[None, :]
-    e = dst1_2d(f_interior, mesh)
-    return idst1_2d(e / den, nx, ny, mesh)
+    e = dst1_2d(f_interior, mesh, impl)
+    return idst1_2d(e / den, nx, ny, mesh, impl)
 
 
 # ------------------------------------------------------------- dealiasing
