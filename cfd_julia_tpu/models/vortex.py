@@ -108,11 +108,14 @@ def initial_vorticity(cfg: VortexConfig, dtype):
 
 # ----------------------------------------------------------------- FDM
 
-def fdm_rhs(w, dx, dy, re, mesh=None, impl: str = "xla"):
+def fdm_rhs(w, dx, dy, re, mesh=None, impl: str = "xla",
+            fft_impl: str = "xla"):
     """vm_rhs: psi from FFT Poisson (FDM eigenvalues), Arakawa + viscous
     Laplacian (Common.jl:132-182).  impl="pallas" runs the fused
-    single-slab Jacobian+Laplacian kernel (ops.pallas_kernels)."""
-    s = spectral.fft_poisson_periodic(-w, dx, dy, eigen="fdm", mesh=mesh)
+    single-slab Jacobian+Laplacian kernel (ops.pallas_kernels);
+    fft_impl="matmul" solves the Poisson step on the MXU FFT."""
+    s = spectral.fft_poisson_periodic(-w, dx, dy, eigen="fdm", mesh=mesh,
+                                      impl=fft_impl)
     if impl == "pallas":
         from cfd_julia_tpu.ops import pallas_kernels
 
@@ -446,7 +449,7 @@ def solve(cfg: VortexConfig, dtype=None) -> VortexResult:
 
     if cfg.solver == "fdm":
         rhs = lambda w: fdm_rhs(w, cfg.dx, cfg.dy, cfg.re,
-                                impl=cfg.rhs_impl)
+                                impl=cfg.rhs_impl, fft_impl=cfg.fft_impl)
         step = lambda w: ssprk3.ssprk3_step(rhs, w, cfg.dt)
         w, snaps = loop.run_steps_with_snapshots(step, w0, cfg.nt, every)
         snapshots = jnp.concatenate([w0[None], snaps], axis=0)

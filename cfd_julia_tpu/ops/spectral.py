@@ -134,7 +134,7 @@ def wavespace(nx: int, ny: int, dx: float, dy: float, dtype, eps: float = 1e-6):
 
 
 def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
-                         eps: float = 1e-6, mesh=None):
+                         eps: float = 1e-6, mesh=None, impl: str = "xla"):
     """Solve laplacian(u) = f on an nx x ny periodic grid (unique nodes).
 
     eigen="fdm": second-order FDM eigenvalues aa + bb cos(kx) + cc cos(ky)
@@ -145,7 +145,13 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
     The mean mode is zeroed (solvability / gauge fixing)."""
     nx, ny = f.shape[-2], f.shape[-1]
     dtype = f.dtype
-    e = fft2(f, mesh)
+    if impl == "matmul" and mesh is None:
+        from cfd_julia_tpu.ops import mxu_fft
+
+        fwd, inv = mxu_fft.fft2_matmul, mxu_fft.ifft2_matmul
+    else:
+        fwd, inv = (lambda x: fft2(x, mesh)), (lambda x: ifft2(x, mesh))
+    e = fwd(f.astype(complex_for(dtype)) if impl == "matmul" else f)
     if eigen == "fdm":
         ix = jnp.arange(nx, dtype=dtype)
         iy = jnp.arange(ny, dtype=dtype)
@@ -171,7 +177,7 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
     nzy = jnp.arange(ny)[None, :] == 0
     den = jnp.where(nzx & nzy, jnp.ones((), dtype), den)
     e = zero_mean_mode(e)
-    return jnp.real(ifft2(e / den, mesh))
+    return jnp.real(inv(e / den))
 
 
 # ----------------------------------------------------------------- DST-I
