@@ -105,18 +105,28 @@ def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
     dtype = dtype or jnp.float32
     best, best_impl = 0.0, None
     for poisson in variants:
-        cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5, poisson=poisson)
-        step = cavity.make_step_fn(cfg)
-        w0 = jnp.zeros((nx + 1, nx + 1), dtype)
-        state = (w0, jnp.zeros_like(w0), jnp.zeros((), dtype))
-        sps, state = _timed_scan(step, state, steps,
-                                 lambda s: float(s[0].sum()))
-        assert bool(jnp.isfinite(state[0]).all()), \
-            f"cavity bench ({poisson}) went non-finite"
+        # per-variant isolation: a tunnel flap or compile failure in a
+        # later variant must not discard an already-measured number
+        try:
+            cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5,
+                                      poisson=poisson)
+            step = cavity.make_step_fn(cfg)
+            w0 = jnp.zeros((nx + 1, nx + 1), dtype)
+            state = (w0, jnp.zeros_like(w0), jnp.zeros((), dtype))
+            sps, state = _timed_scan(step, state, steps,
+                                     lambda s: float(s[0].sum()))
+            assert bool(jnp.isfinite(state[0]).all()), \
+                f"cavity bench ({poisson}) went non-finite"
+        except Exception as e:
+            print(f"# cavity {nx}^2 poisson={poisson} failed: {e!r:.200}",
+                  file=sys.stderr)
+            continue
         print(f"# cavity {nx}^2 poisson={poisson}: {sps:.1f} steps/s",
               file=sys.stderr)
         if sps > best:
             best, best_impl = sps, poisson
+    if best_impl is None:
+        raise RuntimeError("all cavity Poisson variants failed")
     return best, best_impl
 
 
@@ -185,8 +195,12 @@ def main(argv=None):
     print(f"# device: {dev}", file=sys.stderr)
 
     steps = 50 if args.quick else 200
+    # --quick keeps its one-compile-one-number contract: only the proven
+    # fst variant; the full run races all three
+    variants = ("fst",) if args.quick else ("fst", "matmul", "fst_mxu")
     try:
-        cavity_sps, cavity_impl = bench_cavity(nx=args.nx, steps=steps)
+        cavity_sps, cavity_impl = bench_cavity(nx=args.nx, steps=steps,
+                                               variants=variants)
     except Exception as e:
         _emit(0.0, 0.0, error=f"cavity bench failed: {e!r:.300}")
         return 0

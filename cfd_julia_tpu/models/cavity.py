@@ -175,6 +175,11 @@ def make_step_fn(cfg: CavityConfig, mesh=None):
     def rhs_interior(w, s):
         return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
+    if mesh is not None and cfg.poisson != "fst":
+        raise ValueError(
+            f"poisson={cfg.poisson!r} is single-device only; the mesh-"
+            "aware step uses poisson='fst' (pencil DST) or "
+            "make_padded_step_fn (matmul DST with native sharding)")
     if cfg.poisson == "matmul":
         # padded solver on the exact (nx+1, ny+1) shape: reads the
         # interior, returns exact-zero walls — same contract as solve_fst

@@ -52,7 +52,7 @@ class VortexConfig:
     tgv_n: int = 4
     rhs_impl: str = "xla"    # xla | pallas (fdm solver's Arakawa kernel)
     fft_impl: str = "xla"    # xla | matmul (four-step MXU FFT,
-                             # ops.mxu_fft; power-of-two grids only)
+                             # ops.mxu_fft; any composite grid size)
 
     @property
     def dx(self) -> float:

@@ -15,8 +15,9 @@ auto-selection stays data-driven.
 
 Index conventions (decimation-in-time): j = j1 + n1*j2, k = k2 + n2*k1;
 the input gather is one (.., n2, n1) -> (.., n1, n2) transpose, the
-output is already in natural order.  Exact for any n = n1*n2; this
-module requires power-of-two n and splits n1 = 2^ceil(m/2).
+output is already in natural order.  Any COMPOSITE n works (the DFT
+factors are dense matrices — no radix restriction); _split picks the
+most balanced factor pair, and prime lengths raise.
 
 fp32 inputs use precision="highest" matmuls (3-pass bf16 ~ fp32
 accuracy); fp64 (CPU tests) is exact to roundoff.

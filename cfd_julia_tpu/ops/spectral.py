@@ -145,13 +145,15 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
     The mean mode is zeroed (solvability / gauge fixing)."""
     nx, ny = f.shape[-2], f.shape[-1]
     dtype = f.dtype
-    if impl == "matmul" and mesh is None:
+    use_matmul = impl == "matmul" and mesh is None  # matmul path is
+    # single-device; under a mesh the pencil decomposition applies
+    if use_matmul:
         from cfd_julia_tpu.ops import mxu_fft
 
         fwd, inv = mxu_fft.fft2_matmul, mxu_fft.ifft2_matmul
     else:
         fwd, inv = (lambda x: fft2(x, mesh)), (lambda x: ifft2(x, mesh))
-    e = fwd(f.astype(complex_for(dtype)) if impl == "matmul" else f)
+    e = fwd(f.astype(complex_for(dtype)) if use_matmul else f)
     if eigen == "fdm":
         ix = jnp.arange(nx, dtype=dtype)
         iy = jnp.arange(ny, dtype=dtype)
