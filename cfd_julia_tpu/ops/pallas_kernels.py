@@ -35,7 +35,7 @@ GUARD = 8  # sublane-aligned halo rows (Mosaic: HBM slices align to 8 rows)
 
 
 def _rb_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
-               tile, n_rows, n_cols, dx2i, dy2i):
+               tile, n_rows, n_cols, dx2i, dy2i, sweeps):
     t = pl.program_id(0)
     row0 = t * tile  # global index of this tile's first row
     diag = -2.0 * dx2i - 2.0 * dy2i
@@ -68,10 +68,13 @@ def _rb_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
         r = jnp.where(interior & (parity == want), f - lap, 0.0)
         return uc + r / diag
 
-    # red valid on slab rows 1..slab-2 (in-slab neighbours); black on the
-    # tile rows GUARD..GUARD+tile-1 then sees updated red from both sides
-    u = half(u, 0)
-    u = half(u, 1)
+    # each half-update shrinks the in-slab validity ring by one row, so
+    # `sweeps` full red-black sweeps need 2*sweeps <= GUARD halo rows;
+    # the tile rows GUARD..GUARD+tile-1 stay exact throughout — identical
+    # math to `sweeps` single-sweep launches, at 1/sweeps the HBM traffic
+    for _ in range(sweeps):
+        u = half(u, 0)
+        u = half(u, 1)
     out_ref[:, :] = u[GUARD : GUARD + tile, :]
 
 
@@ -80,7 +83,11 @@ def redblack_sweeps_fused(u, f, dx: float, dy: float, iters: int = 1,
     """`iters` full red-black GS sweeps; matches iterating
     poisson.iterative.redblack_sweep. Pads once (guard rows + lane-aligned
     columns), runs the kernel in padded form, unpads once — repeated
-    sweeps only re-attach the constant zero guard rows."""
+    calls only re-attach the constant zero guard rows.
+
+    Up to GUARD//2 sweeps run inside ONE kernel launch (each half-update
+    costs one halo row of validity), so the common MG smoothing counts
+    (v1 = v2 = v3 = 2) take a single HBM round trip instead of two."""
     if interpret is None:
         interpret = not _on_tpu()
     assert tile % GUARD == 0, "tile must be a multiple of the 8-row guard"
@@ -95,34 +102,41 @@ def redblack_sweeps_fused(u, f, dx: float, dy: float, iters: int = 1,
     fp = jnp.pad(f, ((GUARD, GUARD + row_pad), (0, col_pad)))
     guard = jnp.zeros((GUARD, W), u.dtype)
 
-    kernel = functools.partial(
-        _rb_kernel, tile=tile, n_rows=n_rows, n_cols=n_cols,
-        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2,
-    )
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((rows_p, W), u.dtype),
-        grid=(rows_p // tile,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((tile, W), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((slab, W), u.dtype),
-            pltpu.VMEM((slab, W), f.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )
+    max_per_call = GUARD // 2
+    calls = []           # static schedule: e.g. iters=5 -> [4, 1]
+    left = iters
+    while left > 0:
+        k = min(left, max_per_call)
+        calls.append(k)
+        left -= k
 
-    def body(_, upk):
-        out = call(upk, fp)
-        return jnp.concatenate([guard, out, guard], axis=0)
+    def make_call(sweeps):
+        kernel = functools.partial(
+            _rb_kernel, tile=tile, n_rows=n_rows, n_cols=n_cols,
+            dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows_p, W), u.dtype),
+            grid=(rows_p // tile,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((tile, W), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((slab, W), u.dtype),
+                pltpu.VMEM((slab, W), f.dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )
 
-    up = jax.lax.fori_loop(0, iters, body, up)
+    for k in calls:
+        out = make_call(k)(up, fp)
+        up = jnp.concatenate([guard, out, guard], axis=0)
     return up[GUARD : GUARD + n_rows, :n_cols]
 
 

@@ -47,3 +47,26 @@ def test_arakawa_rhs_fused_matches(n, tile):
                                            interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("iters", [2, 4, 5])
+def test_redblack_multi_sweep_per_call(iters):
+    """Multiple sweeps inside one kernel launch (validity ring shrinks by
+    one row per half-update, 2*sweeps <= GUARD) are bit-equal to iterated
+    single sweeps; iters=5 exercises the [4, 1] call schedule."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.poisson import iterative
+
+    n = 64
+    dx = dy = 1.0 / n
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.standard_normal((n + 1, n + 1)))
+    f = jnp.asarray(rng.standard_normal((n + 1, n + 1)))
+    mr, mb = iterative.color_masks(n, n, u.dtype)
+    ref = u
+    for _ in range(iters):
+        ref = iterative.redblack_sweep(ref, f, dx, dy, mr, mb)
+    out = pallas_kernels.redblack_sweeps_fused(u, f, dx, dy, iters,
+                                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-13)
