@@ -131,15 +131,18 @@ def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
 
 
 def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=None):
+    import jax
     import jax.numpy as jnp
     from cfd_julia_tpu.models import vortex
 
     dtype = dtype or jnp.float32
 
     cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3)
-    step = vortex.make_spectral_step_half(cfg, dtype)
+    # packed (real) state: complex64 jit params/outputs are rejected by
+    # the remote-TPU backend (see ops.spectral.pack_c)
+    step = vortex.make_spectral_step_half_packed(cfg, dtype)
     w0 = vortex.initial_vorticity(cfg, dtype)
-    hf = vortex.half_init(w0)
+    hf = jax.jit(vortex.half_init_packed)(w0)
     sps, hf = _timed_scan(step, hf, steps,
                           lambda s: float(jnp.abs(s).sum()))
     return sps

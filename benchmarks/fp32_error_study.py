@@ -68,11 +68,14 @@ def ps23_study(nx: int, steps: int):
     out = {}
     for dtype in (jnp.float32, jnp.float64):
         cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3)
-        step = vortex.make_spectral_step_half(cfg, dtype)
-        hf0 = vortex.half_init(vortex.initial_vorticity(cfg, dtype))
+        step = vortex.make_spectral_step_half_packed(cfg, dtype)
+        hf0 = jax.jit(vortex.half_init_packed)(
+            vortex.initial_vorticity(cfg, dtype))
         t0 = time.perf_counter()
         hf = jax.jit(lambda h: loop.run_steps(step, h, steps))(hf0)
-        w = np.asarray(vortex.half_decode(hf, cfg.ny, dtype), np.float64)
+        w = np.asarray(
+            jax.jit(lambda h: vortex.half_decode_packed(h, cfg.ny, dtype))(hf),
+            np.float64)
         out[np.dtype(dtype).name] = {
             "w": w, "wmax": float(np.abs(w).max()),
             "enstrophy": float((w ** 2).sum()),

@@ -117,39 +117,50 @@ def bench_cavity(n):
 
 
 def bench_ps23(n):
+    # real-packed states at every jit boundary (spectral.pack_c: the
+    # remote-TPU backend rejects complex64 params/outputs)
     from cfd_julia_tpu.models import vortex
-    from cfd_julia_tpu.ops import spectral
 
     cfg = vortex.VortexConfig(nx=n, ny=n, solver="ps23", dt=1e-3)
     w0 = vortex.initial_vorticity(cfg, jnp.float32)
-    full = vortex.make_spectral_step(cfg, jnp.float32)
-    half = vortex.make_spectral_step_half(cfg, jnp.float32)
-    wf = spectral.zero_mean_mode(jnp.fft.fft2(w0.astype(jnp.complex64)))
+    full = vortex.make_spectral_step_packed(cfg, jnp.float32)
+    half = vortex.make_spectral_step_half_packed(cfg, jnp.float32)
+    wf = jax.jit(vortex.full_init_packed)(w0)
+    h0 = jax.jit(vortex.half_init_packed)(w0)
     timed(f"ps23_full_{n}", full, wf, iters=10)
-    timed(f"ps23_half_{n}", half, vortex.half_init(w0), iters=10)
+    timed(f"ps23_half_{n}", half, h0, iters=10)
     cfg_mm = vortex.VortexConfig(nx=n, ny=n, solver="ps23", dt=1e-3,
                                  fft_impl="matmul")
-    half_mm = vortex.make_spectral_step_half(cfg_mm, jnp.float32)
-    timed(f"ps23_half_mxufft_{n}", half_mm, vortex.half_init(w0), iters=10)
+    half_mm = vortex.make_spectral_step_half_packed(cfg_mm, jnp.float32)
+    timed(f"ps23_half_mxufft_{n}", half_mm, h0, iters=10)
 
 
 def bench_fft(n):
-    """Raw transform race: XLA VPU FFT vs four-step MXU matmul FFT."""
-    from cfd_julia_tpu.ops import mxu_fft
+    """Raw transform race: XLA VPU FFT vs four-step MXU matmul FFT.
+
+    Complex values never cross a jit boundary (spectral.pack_c): inputs
+    are real (2, n, n) Re/Im stacks, the error check is a jitted real
+    scalar."""
+    from cfd_julia_tpu.ops import mxu_fft, spectral
 
     rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.standard_normal((n, n))
-                    + 1j * rng.standard_normal((n, n)), jnp.complex64)
-    ref = jnp.fft.fft2(x)
-    err = float(jnp.abs(mxu_fft.fft2_matmul(x) - ref).max()
-                / jnp.abs(ref).max())
-    print(json.dumps({"bench": f"mxufft_rel_err_{n}", "val": err}),
-          flush=True)
-    timed(f"fft2_xla_{n}", lambda z: jnp.fft.ifft2(jnp.fft.fft2(z)), x,
-          iters=10)
+    x = jnp.asarray(
+        rng.standard_normal((2, n, n)), jnp.float32)  # packed Re/Im
+
+    @jax.jit
+    def rel_err(h):
+        z = spectral.unpack_c(h)
+        ref = jnp.fft.fft2(z)
+        return jnp.abs(mxu_fft.fft2_matmul(z) - ref).max() / jnp.abs(ref).max()
+
+    print(json.dumps({"bench": f"mxufft_rel_err_{n}",
+                      "val": float(rel_err(x))}), flush=True)
+    timed(f"fft2_xla_{n}",
+          lambda h: spectral.pack_c(jnp.fft.ifft2(jnp.fft.fft2(
+              spectral.unpack_c(h)))), x, iters=10)
     timed(f"fft2_mxu_{n}",
-          lambda z: mxu_fft.ifft2_matmul(mxu_fft.fft2_matmul(z)), x,
-          iters=10)
+          lambda h: spectral.pack_c(mxu_fft.ifft2_matmul(mxu_fft.fft2_matmul(
+              spectral.unpack_c(h)))), x, iters=10)
 
 
 def bench_pallas_rhs(n):

@@ -402,6 +402,37 @@ def half_decode(H, ny: int, dtype):
     return jnp.real(jnp.fft.ifft2(spectral.hermitian_full(H, ny))).astype(dtype)
 
 
+# Packed-state variants: the remote-TPU backend rejects complex64 at jit
+# boundaries (see spectral.pack_c), so every solver-level entry/exit
+# carries the half spectrum as a real (2, nx, ny//2+1) stack.
+
+def half_init_packed(w0):
+    return spectral.pack_c(half_init(w0))
+
+
+def half_decode_packed(h, ny: int, dtype):
+    return half_decode(spectral.unpack_c(h), ny, dtype)
+
+
+def make_spectral_step_half_packed(cfg: VortexConfig, dtype):
+    """make_spectral_step_half with real-packed state at the boundary."""
+    step = make_spectral_step_half(cfg, dtype)
+    return lambda h: spectral.pack_c(step(spectral.unpack_c(h)))
+
+
+def make_spectral_step_packed(cfg: VortexConfig, dtype, mesh=None):
+    """make_spectral_step (full spectrum) with real-packed state."""
+    step = make_spectral_step(cfg, dtype, mesh)
+    return lambda h: spectral.pack_c(step(spectral.unpack_c(h)))
+
+
+def full_init_packed(w0):
+    """Packed full-spectrum state from real vorticity (fft2 built from the
+    rfft2 half via the Hermitian mirror — real input end to end)."""
+    return spectral.pack_c(
+        spectral.zero_mean_mode(spectral.fft2_real(w0)))
+
+
 def make_spectral_step(cfg: VortexConfig, dtype, mesh=None):
     """3-stage low-storage RK3/CN step over the vorticity spectrum
     (hybrid.jl:34-69, identical stepper in ch. 21/22)."""
@@ -454,13 +485,15 @@ def solve(cfg: VortexConfig, dtype=None) -> VortexResult:
         w, snaps = loop.run_steps_with_snapshots(step, w0, cfg.nt, every)
         snapshots = jnp.concatenate([w0[None], snaps], axis=0)
     else:
-        step = make_spectral_step_half(cfg, dtype)
-        h0 = half_init(w0)
-        observe = lambda H: half_decode(H, cfg.ny, dtype)
+        # packed (real) state at every jit boundary — complex64 params/
+        # outputs are rejected by the remote-TPU backend (spectral.pack_c)
+        step = make_spectral_step_half_packed(cfg, dtype)
+        h0 = jax.jit(half_init_packed)(w0)
+        observe = lambda h: half_decode_packed(h, cfg.ny, dtype)
         hf, snaps = loop.run_steps_with_snapshots(
             step, h0, cfg.nt, every, observe=observe
         )
-        w = half_decode(hf, cfg.ny, dtype)
+        w = jax.jit(lambda h: half_decode_packed(h, cfg.ny, dtype))(hf)
         snapshots = jnp.concatenate([w0[None], snaps], axis=0)
 
     return VortexResult(x=x, y=y, w=w, snapshots=snapshots)

@@ -101,6 +101,24 @@ def complex_for(real_dtype):
     return jnp.complex128 if jnp.dtype(real_dtype) == jnp.float64 else jnp.complex64
 
 
+def pack_c(H):
+    """Complex array -> real (2, ...) stack [Re, Im].
+
+    Complex64 buffers must never cross a jit boundary (params, outputs,
+    or host transfers): the remote-TPU backend rejects or hangs on
+    complex I/O while handling complex INTERMEDIATES fine (probed
+    2026-08-16; the capability also varies between tunnel sessions, so
+    the safe contract is real-only boundaries).  pack_c/unpack_c are the
+    boundary adapters — both are free inside jit (XLA stores complex as
+    separate Re/Im planes already, so these fuse to relayouts)."""
+    return jnp.stack([jnp.real(H), jnp.imag(H)])
+
+
+def unpack_c(h):
+    """Real (2, ...) stack [Re, Im] -> complex array (see pack_c)."""
+    return lax.complex(h[0], h[1])
+
+
 def ifft2_pair(A, B, mesh=None):
     """Inverse-transform two Hermitian spectra (of real fields) with ONE
     complex ifft2: ifft2(A + iB) = a + ib elementwise for real a, b."""

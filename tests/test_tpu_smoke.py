@@ -76,10 +76,12 @@ def test_ps23_half_spectrum_step(tpu):
     from cfd_julia_tpu.models import vortex
 
     cfg = vortex.VortexConfig(nx=64, ny=64, solver="ps23", dt=0.01)
-    step = vortex.make_spectral_step_half(cfg, jnp.float32)
+    step = vortex.make_spectral_step_half_packed(cfg, jnp.float32)
     w0 = vortex.initial_vorticity(cfg, jnp.float32)
-    run = jax.jit(lambda w: step(step(vortex.half_init(w))))
-    out_tpu = np.asarray(jax.device_put(run(jax.device_put(w0, tpu)), tpu))
+    # real-packed state end to end: the remote backend rejects complex64
+    # at jit boundaries and on host transfers (spectral.pack_c)
+    run = jax.jit(lambda w: step(step(vortex.half_init_packed(w))))
+    out_tpu = np.asarray(run(jax.device_put(w0, tpu)))
     out_cpu = np.asarray(_on_cpu(run, w0))
     np.testing.assert_allclose(out_tpu, out_cpu, rtol=0, atol=1e-4)
 
