@@ -108,7 +108,7 @@ def bench_cavity(n):
     from cfd_julia_tpu.models import cavity
 
     w0 = jnp.zeros((n + 1, n + 1), jnp.float32)
-    for poisson in ("fst", "matmul", "fst_mxu"):
+    for poisson in ("fst", "fst_half", "matmul", "fst_mxu"):
         cfg = cavity.CavityConfig(nx=n, ny=n, dt=2e-5, poisson=poisson)
         step = cavity.make_step_fn(cfg)
         timed(f"cavity_{poisson}_{n}", step,
@@ -225,6 +225,9 @@ def bench_dst(n):
           iters=20)
     timed(f"fst_mxufft_{n}",
           lambda x: direct.solve_fst(x, dx, dx, impl="matmul"), f,
+          iters=20)
+    timed(f"fst_half_{n}",
+          lambda x: direct.solve_fst(x, dx, dx, impl="half"), f,
           iters=20)
 
 

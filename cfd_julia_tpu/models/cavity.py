@@ -39,8 +39,10 @@ class CavityConfig:
     t_final: float = 10.0
     re: float = 100.0
     bc_order: int = 2        # 1 = Hoffmann, 2 = Jensen (reference default)
-    poisson: str = "fst"     # fst (DST-I via rfft) | matmul (dense MXU
-                             # sine transform) | fst_mxu (DST-I via the
+    poisson: str = "fst"     # fst (DST-I via odd-extension rfft) |
+                             # fst_half (DST-I via the half-length rfft +
+                             # pre/post passes) | matmul (dense MXU sine
+                             # transform) | fst_mxu (DST-I via the
                              # four-step MXU matmul FFT) — same eigenvalues
                              # and results; selected by TPU microbench
 
@@ -188,6 +190,9 @@ def make_step_fn(cfg: CavityConfig, mesh=None):
     elif cfg.poisson == "fst_mxu":
         # odd-extension DST through the four-step MXU FFT
         solve = lambda f: direct.solve_fst(f, dx, dy, impl="matmul")
+    elif cfg.poisson == "fst_half":
+        # half-length-rfft DST (FFTPACK-style pre/post passes)
+        solve = lambda f: direct.solve_fst(f, dx, dy, impl="half")
     else:
         solve = lambda f: direct.solve_fst(f, dx, dy, mesh=mesh)
 

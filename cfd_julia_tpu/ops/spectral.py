@@ -202,11 +202,54 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
 
 # ----------------------------------------------------------------- DST-I
 
+def _dst1_half_last(v):
+    """DST-I along the last axis via a length-(m+1) rfft — HALF the
+    odd-extension transform length (FFTPACK RODFT00 pre/post processing,
+    Swarztrauber 1982; verified to roundoff vs scipy.fft.dst type 1).
+
+    With N = m+1:  y_0 = 0,
+        y_j = sin(pi j/N) (x_j + x_{N-j}) + (x_j - x_{N-j})/2,  j=1..N-1
+        Y = rfft(y)
+        S_{2r}   = -Im Y_r                       (r = 1 .. m//2)
+        S_{2r+1} = S_{2r-1} + Re Y_r,  S_1 = Re Y_0 / 2
+                 = cumsum(Re Y)_r - Re Y_0 / 2   (r = 0 .. ceil(m/2)-1)
+
+    Returns the UNSCALED sine sum S_k = sum_j x_j sin(pi j k / N); dst1
+    doubles it for FFTW-RODFT00 parity.  The cumsum is one log-depth XLA
+    pass; everything else is elementwise — the FFT work halves."""
+    m = v.shape[-1]
+    n = m + 1
+    dtype = v.dtype
+    jj = jnp.arange(1, n, dtype=dtype)
+    s = jnp.sin(jnp.pi * jj / n)
+    b = v[..., ::-1]                             # x[N-j], j = 1..N-1
+    y1 = s * (v + b) + 0.5 * (v - b)
+    y = jnp.concatenate(
+        [jnp.zeros(v.shape[:-1] + (1,), dtype), y1], axis=-1)
+    Y = jnp.fft.rfft(y, axis=-1)                 # (..., N//2 + 1)
+    re = jnp.real(Y).astype(dtype)
+    im = jnp.imag(Y).astype(dtype)
+    odd = jnp.cumsum(re, axis=-1) - 0.5 * re[..., :1]   # k = 1, 3, 5, ...
+    n_odd = (m + 1) // 2
+    n_even = m // 2
+    odd = odd[..., :n_odd]
+    even = -im[..., 1 : n_even + 1]                     # k = 2, 4, 6, ...
+    if n_even < n_odd:   # pad so the interleave stays a pure reshape
+        even = jnp.concatenate(
+            [even, jnp.zeros(v.shape[:-1] + (n_odd - n_even,), dtype)],
+            axis=-1)
+    inter = jnp.stack([odd, even], axis=-1).reshape(
+        v.shape[:-1] + (2 * n_odd,))
+    return inter[..., :m]
+
+
 def dst1(v, axis: int = -1, mesh=None, impl: str = "rfft"):
     """DST-I along `axis`: X_k = 2 sum_j v_j sin(pi (j+1)(k+1) / (m+1)),
     matching FFTW's unnormalized RODFT00 on m interior points.
 
     impl="rfft": odd extension + rfft (VPU FFT).
+    impl="half": length-(m+1) rfft + pre/post passes (_dst1_half_last) —
+    half the transform length of the odd extension.
     impl="matmul": same odd extension through the four-step MXU FFT
     (ops.mxu_fft) — the transform becomes two small dense matmuls on the
     systolic array; ~2.6x fewer flops than the dense sine matmul.
@@ -227,14 +270,17 @@ def dst1(v, axis: int = -1, mesh=None, impl: str = "rfft"):
                 [v, jnp.zeros((n0_pad - n0, m), v.dtype)], axis=0
             )
         v = _constrain(v, mesh, P(tuple(mesh.axis_names), None))
-    z = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
-    y = jnp.concatenate([z, v, z, -v[..., ::-1]], axis=-1)   # length 2(m+1)
-    if impl == "matmul":
-        from cfd_julia_tpu.ops import mxu_fft
-
-        X = -mxu_fft.fft_matmul(y).imag[..., 1 : m + 1]
+    if impl == "half":
+        X = 2.0 * _dst1_half_last(v)
     else:
-        X = -jnp.fft.rfft(y, axis=-1).imag[..., 1 : m + 1]
+        z = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
+        y = jnp.concatenate([z, v, z, -v[..., ::-1]], axis=-1)  # len 2(m+1)
+        if impl == "matmul":
+            from cfd_julia_tpu.ops import mxu_fft
+
+            X = -mxu_fft.fft_matmul(y).imag[..., 1 : m + 1]
+        else:
+            X = -jnp.fft.rfft(y, axis=-1).imag[..., 1 : m + 1]
     X = X.astype(v.dtype)
     if n0 is not None:
         X = X[:n0]
