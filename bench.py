@@ -95,7 +95,7 @@ def _timed_scan(step, state, steps: int, sync):
 
 
 def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
-                 variants=("fst", "fst_half", "matmul", "fst_mxu")):
+                 variants=("fst", "fst_half", "matmul", "matmul_bf16x3", "fst_mxu")):
     """Best cavity throughput across Poisson implementations (the rfft
     DST-I path vs the MXU sine-matmul path — identical numerics, verified
     in tests); returns (steps_per_sec, winning_variant)."""
@@ -200,7 +200,7 @@ def main(argv=None):
     steps = 50 if args.quick else 200
     # --quick keeps its one-compile-one-number contract: only the proven
     # fst variant; the full run races all three
-    variants = ("fst",) if args.quick else ("fst", "fst_half", "matmul", "fst_mxu")
+    variants = ("fst",) if args.quick else ("fst", "fst_half", "matmul", "matmul_bf16x3", "fst_mxu")
     try:
         cavity_sps, cavity_impl = bench_cavity(nx=args.nx, steps=steps,
                                                variants=variants)

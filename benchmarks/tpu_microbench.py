@@ -108,7 +108,7 @@ def bench_cavity(n):
     from cfd_julia_tpu.models import cavity
 
     w0 = jnp.zeros((n + 1, n + 1), jnp.float32)
-    for poisson in ("fst", "fst_half", "matmul", "fst_mxu"):
+    for poisson in ("fst", "fst_half", "matmul", "matmul_bf16x3", "fst_mxu"):
         cfg = cavity.CavityConfig(nx=n, ny=n, dt=2e-5, poisson=poisson)
         step = cavity.make_step_fn(cfg)
         timed(f"cavity_{poisson}_{n}", step,

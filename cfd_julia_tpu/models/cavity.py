@@ -182,11 +182,12 @@ def make_step_fn(cfg: CavityConfig, mesh=None):
             f"poisson={cfg.poisson!r} is single-device only; the mesh-"
             "aware step uses poisson='fst' (pencil DST) or "
             "make_padded_step_fn (matmul DST with native sharding)")
-    if cfg.poisson == "matmul":
+    if cfg.poisson in ("matmul", "matmul_bf16x3"):
         # padded solver on the exact (nx+1, ny+1) shape: reads the
         # interior, returns exact-zero walls — same contract as solve_fst
+        prec = "high" if cfg.poisson == "matmul_bf16x3" else "highest"
         solve = lambda f: direct.solve_fst_matmul_padded(
-            f, cfg.nx, cfg.ny, dx, dy)
+            f, cfg.nx, cfg.ny, dx, dy, mm_precision=prec)
     elif cfg.poisson == "fst_mxu":
         # odd-extension DST through the four-step MXU FFT
         solve = lambda f: direct.solve_fst(f, dx, dy, impl="matmul")

@@ -44,7 +44,8 @@ def sine_matrix(n: int, size: int, dtype):
     return jnp.where((r < n) & (c < n), s, jnp.zeros((), dtype))
 
 
-def solve_fst_matmul_padded(f, nx: int, ny: int, dx: float, dy: float):
+def solve_fst_matmul_padded(f, nx: int, ny: int, dx: float, dy: float,
+                            mm_precision: str = "highest"):
     """Dirichlet Poisson solve as four dense matmuls (MXU path).
 
     f: (P, Q) padded field whose logical content lives at [0..nx, 0..ny];
@@ -71,6 +72,9 @@ def solve_fst_matmul_padded(f, nx: int, ny: int, dx: float, dy: float):
     ) * (jnp.cos(jnp.pi * l_ / ny) - 1.0)
     den = jnp.where(valid, den, jnp.ones((), dtype))
     g = jnp.where(valid, f, jnp.zeros((), dtype))
-    mm = lambda a, b: jnp.matmul(a, b, precision="highest")
+    # mm_precision: "highest" = 6-pass bf16 (fp32-exact), "high" = 3-pass
+    # bf16 (~1e-6 rel error, ~2x MXU throughput) — raced by the microbench;
+    # the fp32-vs-fp64 study's 4e-4 psi tolerance dwarfs the 3-pass error.
+    mm = lambda a, b: jnp.matmul(a, b, precision=mm_precision)
     coeff = mm(mm(sx, g), sy) / den
     return mm(mm(sx, coeff), sy) * (4.0 / (nx * ny))
