@@ -25,6 +25,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cfd_julia_tpu.core import precision
@@ -254,32 +255,39 @@ def _cn_consts(cfg: VortexConfig, k2h, dtype):
     """Per-stage CN/RK3 update coefficients with the zero-mean projection
     folded in: a_s = (1-d)/(1+d), b_s = gamma_s dt/(1+d),
     r_s = rho_s dt/(1+d), all zeroed at k=(0,0) so the mean mode is
-    projected out exactly as zero_mean_mode did (hybrid.jl:34-69)."""
+    projected out exactly as zero_mean_mode did (hybrid.jl:34-69).
+
+    NUMPY: solver constants are assembled at step-build time, often
+    outside jit — they must not touch the device (tunnel round trips;
+    the remote backend's eager complex gaps)."""
     dt, re = cfg.dt, cfg.re
     nx, hy = k2h.shape
-    mean = 1.0 - ((jnp.arange(nx)[:, None] == 0)
-                  & (jnp.arange(hy)[None, :] == 0)).astype(dtype)
+    mean = 1.0 - ((np.arange(nx)[:, None] == 0)
+                  & (np.arange(hy)[None, :] == 0)).astype(dtype)
     out = []
     for s in range(3):
-        d = ALPHAS[s] * 0.5 * dt * k2h / re
-        out.append((mean * (1.0 - d) / (1.0 + d),
-                    mean * GAMMAS[s] * dt / (1.0 + d),
-                    mean * RHOS[s] * dt / (1.0 + d)))
+        d = ALPHAS[s] * 0.5 * dt * np.asarray(k2h, np.float64) / re
+        out.append(tuple(
+            np.asarray(c, dtype) for c in
+            (mean * (1.0 - d) / (1.0 + d),
+             mean * GAMMAS[s] * dt / (1.0 + d),
+             mean * RHOS[s] * dt / (1.0 + d))))
     return out
 
 
 def _half_wavenumbers(cfg: VortexConfig, dtype, eps: float = 1e-6):
     """kx (full axis, eps-guarded for 1/k2), ky (rfft half axis), the
     eps-guarded k2, and the multiplicative kx0/ky0 with k=0 and Nyquist
-    zeroed (the _deriv_spectra conventions, on half-spectrum shapes)."""
+    zeroed (the _deriv_spectra conventions, on half-spectrum shapes).
+    Numpy build-time constants (see _cn_consts)."""
     nx, ny = cfg.nx, cfg.ny
     kx = spectral.fft_wavenumber_index(nx, cfg.dx, dtype, eps)[:, None]
     kyh = spectral.rfft_wavenumber_index(ny, cfg.dy, dtype)[None, :]
-    kyg = jnp.where(kyh == 0.0, eps, kyh)          # guard matches wavespace
+    kyg = np.where(kyh == 0.0, np.asarray(eps, dtype), kyh)
     k2h = kx**2 + kyg**2
-    ix = jnp.arange(nx)[:, None]
-    iy = jnp.arange(ny // 2 + 1)[None, :]
-    kx0 = jnp.where(ix == 0, 0.0, kx)
+    ix = np.arange(nx)[:, None]
+    iy = np.arange(ny // 2 + 1)[None, :]
+    kx0 = np.where(ix == 0, np.zeros((), dtype), kx)
     ky0 = kyh                                       # j=0 entry is already 0
     nyq = (((nx % 2 != 0) | (ix != nx // 2))
            & ((ny % 2 != 0) | (iy != ny // 2))).astype(dtype)
@@ -291,21 +299,24 @@ def _packed_jacobian_consts(cfg: VortexConfig, dtype, band_mask=None):
     pair 1 recovers (psi_x, w_y), pair 2 recovers (psi_y, w_x):
         head = (i kx/k2 - ky) resp. (i ky/k2 - kx)   [A + iB]
         tail = (i kx/k2 + ky) resp. (i ky/k2 + kx)   [A - iB]
-    all times the Nyquist zeroing and any dealias band mask."""
+    all times the Nyquist zeroing and any dealias band mask.
+    Numpy build-time constants (see _cn_consts) — in particular the
+    COMPLEX arithmetic here must never run eagerly on the device."""
     kx0, ky0, k2h, nyq = _half_wavenumbers(cfg, dtype)
     cdtype = precision.complex_dtype(dtype)
-    m = nyq if band_mask is None else nyq * band_mask.astype(dtype)
+    m = nyq if band_mask is None else nyq * np.asarray(band_mask, dtype)
     gx, gy = kx0 / k2h, ky0 / k2h
     consts = ((1j * gx - ky0) * m, (1j * gx + ky0) * m,
               (1j * gy - kx0) * m, (1j * gy + kx0) * m)
-    return tuple(c.astype(cdtype) for c in consts)
+    return tuple(np.asarray(c, cdtype) for c in consts)
 
 
 def _band_mask_23_half(cfg: VortexConfig):
-    """Symmetric 2/3 band on half-spectrum indices (see jacobian_ps23)."""
+    """Symmetric 2/3 band on half-spectrum indices (see jacobian_ps23).
+    Numpy build-time constant."""
     nxe, nye = (2 * cfg.nx) // 3, (2 * cfg.ny) // 3
-    ix = jnp.arange(cfg.nx)[:, None]
-    iy = jnp.arange(cfg.ny // 2 + 1)[None, :]
+    ix = np.arange(cfg.nx)[:, None]
+    iy = np.arange(cfg.ny // 2 + 1)[None, :]
     keep_x = (ix < nxe // 2) | (ix > cfg.nx - nxe // 2)
     return keep_x & (iy < nye // 2)
 
@@ -329,8 +340,8 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
 
     if cfg.solver == "hybrid":
         cdtype = precision.complex_dtype(dtype)
-        head = (1.0 + 1j / k2h).astype(cdtype)
-        tail = (1.0 - 1j / k2h).astype(cdtype)
+        head = np.asarray(1.0 + 1j / k2h, cdtype)
+        tail = np.asarray(1.0 - 1j / k2h, cdtype)
 
         def jac(H):
             z = ifft2_fn(spectral.pack_hermitian_pair(

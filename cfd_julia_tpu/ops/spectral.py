@@ -16,6 +16,7 @@ TPU-native notes:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -137,11 +138,18 @@ def zero_mean_mode(e):
 
 def fft_wavenumber_index(n: int, dx: float, dtype, eps: float = 1e-6):
     """k_i = hx * [0, 1, .., n/2-1, -n/2, .., -1] with hx = 2 pi/(n dx) and
-    the k_0 = eps guard (wavespace, Common.jl:184-204)."""
-    hx = 2 * jnp.pi / (n * dx)
-    i = jnp.arange(n, dtype=dtype)
-    k = hx * jnp.where(i < n // 2, i, i - n)
-    return k.at[0].set(eps)
+    the k_0 = eps guard (wavespace, Common.jl:184-204).
+
+    Built with NUMPY: wavenumbers are solver constants assembled at
+    step-build time, often OUTSIDE jit — eager device ops at build time
+    cost tunnel round-trips and (for the complex constants derived from
+    these) can hit the remote backend's complex-op gaps.  As numpy values
+    they embed as literals when traced."""
+    hx = 2 * np.pi / (n * dx)
+    i = np.arange(n)
+    k = hx * np.where(i < n // 2, i, i - n)
+    k[0] = eps
+    return k.astype(dtype)
 
 
 def wavespace(nx: int, ny: int, dx: float, dy: float, dtype, eps: float = 1e-6):
@@ -353,9 +361,10 @@ def pad_32(fhat, nxe: int, nye: int):
 
 def rfft_wavenumber_index(n: int, dx: float, dtype):
     """Half-axis wavenumbers k_j = hx * j, j = 0..n/2 (the rfft layout),
-    with no eps guard — callers fold their own k=0 handling."""
-    hx = 2 * jnp.pi / (n * dx)
-    return hx * jnp.arange(n // 2 + 1, dtype=dtype)
+    with no eps guard — callers fold their own k=0 handling.
+    Numpy (build-time constant — see fft_wavenumber_index)."""
+    hx = 2 * np.pi / (n * dx)
+    return (hx * np.arange(n // 2 + 1)).astype(dtype)
 
 
 def truncate_32_half(h_e, nx: int, ny: int):
