@@ -235,11 +235,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="full", choices=["small", "full"])
     ap.add_argument("--only", default=None)
+    ap.add_argument("--family-timeout", type=int, default=1500,
+                    help="per-family subprocess timeout, seconds")
     args = ap.parse_args()
     small = args.sizes == "small"
-
-    dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
 
     jobs = [
         ("fft", bench_fft, 256 if small else 2048),
@@ -251,13 +250,39 @@ def main():
         ("pallas_rhs", bench_pallas_rhs, 256 if small else 2048),
         ("euler", bench_euler, 1024 if small else 8192),
     ]
-    for name, fn, size in jobs:
-        if args.only and args.only != name:
-            continue
+
+    if args.only:
+        # in-process: one family (the subprocess worker mode)
+        dev = jax.devices()[0]
+        print(f"# device: {dev}", file=sys.stderr)
+        for name, fn, size in jobs:
+            if args.only == name:
+                fn(size)
+        return
+
+    # Each family runs in its OWN subprocess with a hard timeout: one
+    # unsupported op poisons the whole TPU client (afterwards even iota
+    # fails) and some failure modes HANG instead of erroring — in-process
+    # sequencing loses every later family (round-2 microbench post-mortem).
+    import subprocess
+    for name, _, _ in jobs:
         try:
-            fn(size)
-        except Exception as e:
-            print(json.dumps({"bench": name, "error": repr(e)[:300]}),
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--sizes", args.sizes, "--only", name],
+                timeout=args.family_timeout, text=True, capture_output=True)
+            sys.stdout.write(p.stdout)
+            if p.returncode != 0:
+                tail = (p.stderr or "").strip().splitlines()
+                print(json.dumps({"bench": name, "error":
+                                  (tail[-1] if tail else "?")[:300]}),
+                      flush=True)
+        except subprocess.TimeoutExpired as e:
+            sys.stdout.write((e.stdout or b"").decode()
+                             if isinstance(e.stdout, bytes)
+                             else (e.stdout or ""))
+            print(json.dumps({"bench": name,
+                              "error": f"TIMEOUT {args.family_timeout}s"}),
                   flush=True)
 
 
