@@ -74,14 +74,50 @@ def bench_mg_transfers(n):
               lambda x, pf=pf: multigrid.restriction(pf(x)), uc, iters=10)
 
 
+def bench_mg_edges(n):
+    """Fused Pallas level-edge kernels vs their XLA compositions."""
+    from cfd_julia_tpu.ops import pallas_kernels
+    from cfd_julia_tpu.poisson import iterative, multigrid
+
+    rng = np.random.default_rng(7)
+    dx = 1.0 / n
+    u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    uc = jnp.asarray(rng.standard_normal((n // 2 + 1, n // 2 + 1)),
+                     jnp.float32)
+    imask = iterative.interior_mask(n, n, jnp.float32)
+    masks = iterative.color_masks(n, n, jnp.float32)
+
+    # descend edge: residual + restrict (prolong back for shape-stability;
+    # rescale by ~1/|lap| so 10 chained applications stay finite)
+    sc = dx * dx / 8.0
+    timed(f"edge_resrestrict_xla_{n}",
+          lambda x: sc * multigrid.prolongation(multigrid.restriction(
+              iterative.residual_full(f, x, dx, dx, imask))), u, iters=10)
+    timed(f"edge_resrestrict_fused_{n}",
+          lambda x: sc * multigrid.prolongation_matmul(
+              pallas_kernels.residual_restrict_fused(x, f, dx, dx)),
+          u, iters=10)
+    # ascend edge: prolong + correct + v3=2 post-smooth
+    timed(f"edge_prolsmooth_xla_{n}",
+          lambda x: multigrid.smooth(
+              x + multigrid.prolongation(uc) * imask, f, dx, dx, 2,
+              masks, impl="xla"), u, iters=10)
+    timed(f"edge_prolsmooth_fused_{n}",
+          lambda x: pallas_kernels.prolong_correct_smooth_fused(
+              x, f, uc, dx, dx, 2), u, iters=10)
+
+
 def bench_mg_vcycle(n):
     from cfd_julia_tpu.models import poisson2d
     from cfd_julia_tpu.poisson import multigrid
 
-    for transfers in ("conv", "matmul", "reshape"):
-        for smoother in ("xla", "pallas"):
+    combos = [("conv", "xla", "off"), ("conv", "pallas", "off"),
+              ("matmul", "pallas", "off"), ("reshape", "pallas", "off"),
+              ("conv", "pallas", "on"), ("conv", "xla", "on")]
+    for transfers, smoother, fused in combos:
             mgc = multigrid.MGConfig(tol=1e-30, max_cycles=1,
-                                     transfers=transfers)
+                                     transfers=transfers, fused=fused)
             cfg = poisson2d.PoissonConfig(nx=n, ny=n, solver="multigrid",
                                           problem="poly", mg=mgc)
             _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
@@ -93,14 +129,14 @@ def bench_mg_vcycle(n):
                       for l in levels]
             impls = [smoother if min(l[0], l[1]) >= 512 else "xla"
                      for l in levels]
+            tag = f"vcycle_{transfers}_{smoother}_{fused}_{n}"
             try:
-                timed(f"vcycle_{transfers}_{smoother}_{n}",
+                timed(tag,
                       lambda u: multigrid.v_cycle(u, f, levels, masks,
                                                   imasks, mgc, impls),
                       u0, iters=5)
             except Exception as e:
-                print(json.dumps({"bench": f"vcycle_{transfers}_"
-                                  f"{smoother}_{n}", "error": repr(e)[:200]}),
+                print(json.dumps({"bench": tag, "error": repr(e)[:200]}),
                       flush=True)
 
 
@@ -246,6 +282,7 @@ def main():
         ("cavity", bench_cavity, 256 if small else 1024),
         ("ps23", bench_ps23, 256 if small else 2048),
         ("mg_transfers", bench_mg_transfers, 512 if small else 4096),
+        ("mg_edges", bench_mg_edges, 512 if small else 4096),
         ("mg_vcycle", bench_mg_vcycle, 512 if small else 4096),
         ("pallas_rhs", bench_pallas_rhs, 256 if small else 2048),
         ("euler", bench_euler, 1024 if small else 8192),

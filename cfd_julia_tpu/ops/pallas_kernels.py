@@ -120,8 +120,8 @@ def redblack_sweeps_fused(u, f, dx: float, dy: float, iters: int = 1,
             out_shape=jax.ShapeDtypeStruct((rows_p, W), u.dtype),
             grid=(rows_p // tile,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((tile, W), lambda t: (t, 0),
                                    memory_space=pltpu.VMEM),
@@ -144,6 +144,260 @@ def redblack_sweep_fused(u, f, dx: float, dy: float, tile: int = 64,
                          interpret: bool | None = None):
     """One full red-black GS sweep (see redblack_sweeps_fused)."""
     return redblack_sweeps_fused(u, f, dx, dy, 1, tile, interpret)
+
+
+# ------------------------------------- fused multigrid transfer kernels
+#
+# Every XLA formulation of the stride-2 MG transfers is relayout-bound on
+# TPU (measured at 4096^2: stride-2 conv ~18 ms, strided slices 443 ms,
+# deinterleave reshape ~15 ms, dense matmul ~6 ms — vs a ~0.2 ms HBM
+# roofline).  These kernels keep the whole level-transfer arithmetic in
+# one slab pass and express the stride-2 row/column decimation and
+# interpolation as BANDED matmuls whose matrices are generated in-kernel
+# from iota (the band offset is tile-invariant, so the matrices are
+# loop constants): the relayout runs on the MXU instead of XLA's
+# pathological gather paths.
+#
+# residual_restrict_fused  = restriction(residual_full(f, u))      — the
+#     whole V-cycle descend edge (mg_N.jl:74-92) in ~2 HBM reads + a
+#     quarter-size write.
+# prolong_correct_smooth_fused = smooth(u + prolongation(uc)*imask, v3)
+#     — the whole ascend edge (mg_N.jl:94-105) incl. the post-smooth in
+#     one pass (each red-black half-update costs one halo row, so
+#     2*sweeps <= GUARD like redblack_sweeps_fused).
+
+_MM_PRECISION = "high"  # bf16x3 on the MXU: ~f32-accurate for banded
+                        # 0.25/0.5/1.0 weights, 2x the throughput of
+                        # "highest" (CPU interpret ignores it: exact f64)
+
+
+def _band_matrix(rows_i, cols_i, offset, w0, w1, dtype):
+    """M[i, j] = w0 where j - 2 i == offset, w1 where |j - 2 i - offset|
+    == 1 (the separable full-weighting / bilinear band)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (rows_i, cols_i), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (rows_i, cols_i), 1)
+    d = j - 2 * i - offset
+    return jnp.where(d == 0, dtype.type(w0),
+                     jnp.where(jnp.abs(d) == 1, dtype.type(w1),
+                               dtype.type(0.0)))
+
+
+def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
+                         tc, n_rows, n_cols, dx2i, dy2i, wc):
+    t = pl.program_id(0)
+    slab = 2 * tc + 2 * GUARD
+    p0 = 2 * t * tc                      # padded fine row of slab start
+    cu = pltpu.make_async_copy(u_hbm.at[pl.ds(p0, slab), :], us, sem_u)
+    cf = pltpu.make_async_copy(f_hbm.at[pl.ds(p0, slab), :], fs, sem_f)
+    cu.start()
+    cf.start()
+    cu.wait()
+    cf.wait()
+
+    u = us[:, :]                         # (slab, W)
+    f = fs[:, :]
+    W = u.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + (p0 - GUARD)
+    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    interior = (
+        (rows > 0) & (rows < n_rows - 1) & (cols > 0) & (cols < n_cols - 1)
+    )
+    north = jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
+    south = jnp.pad(u[1:, :], ((0, 1), (0, 0)))
+    west = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+    east = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
+    lap = (north - 2.0 * u + south) * dx2i + (west - 2.0 * u + east) * dy2i
+    r = jnp.where(interior, f - lap, 0.0)
+
+    # row combine+decimate: coarse local c <- fine slab rows 2c+GUARD -1/0/+1
+    a = _band_matrix(tc, slab, GUARD, 0.5, 0.25, r.dtype)
+    tm = jax.lax.dot(a, r, precision=_MM_PRECISION)          # (tc, W)
+
+    # column combine+decimate in 128-lane output windows: out lanes
+    # [128k, 128k+128) read fine lanes [256k-1, 256k+257) — slice the
+    # left-padded row-combined slab at [256k, 256k+512) (real lanes
+    # 256k-128 .. 256k+384), so the band matrix is window-invariant:
+    # delta = j - 2 d - 128.
+    tp = jnp.pad(tm, ((0, 0), (128, 384)))
+    b = _band_matrix(128, 512, 128, 0.5, 0.25, r.dtype).T    # (512, 128)
+    for k in range(wc // 128):
+        win = jax.lax.slice(tp, (0, 256 * k), (tc, 256 * k + 512))
+        out_ref[:, 128 * k : 128 * (k + 1)] = jax.lax.dot(
+            win, b, precision=_MM_PRECISION)
+
+
+def residual_restrict_fused(u, f, dx: float, dy: float, tile: int = 64,
+                            interpret: bool | None = None):
+    """restriction(residual_full(f, u, interior)) as ONE slab pass:
+    5-point residual + full-weighting fine->coarse transfer fused, the
+    stride-2 decimation done by banded MXU matmuls (see module note).
+    Matches multigrid.restriction(iterative.residual_full(...)) on
+    node-centred (nx+1, ny+1) grids."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    assert tile % 8 == 0, "coarse tile must keep slab DMAs 8-row aligned"
+    n_rows, n_cols = u.shape
+    ncr, ncc = (n_rows - 1) // 2 + 1, (n_cols - 1) // 2 + 1
+    tc = tile                            # coarse rows per program
+    tn = -(-ncr // tc)                   # programs
+    rows_fp = 2 * tc * tn + 2 * GUARD
+    W = n_cols + (-n_cols) % 256
+    wc = W // 2                          # padded coarse width (128-mult)
+
+    pad = ((GUARD, rows_fp - GUARD - n_rows), (0, W - n_cols))
+    up = jnp.pad(u, pad)
+    fp = jnp.pad(f, pad)
+
+    kernel = functools.partial(
+        _res_restrict_kernel, tc=tc, n_rows=n_rows, n_cols=n_cols,
+        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, wc=wc,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((tc * tn, wc), u.dtype),
+        grid=(tn,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tc, wc), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * tc + 2 * GUARD, W), u.dtype),
+            pltpu.VMEM((2 * tc + 2 * GUARD, W), f.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(up, fp)
+    out = out[:ncr, :ncc]
+    # full weighting at the coarse boundary ring would read interior fine
+    # residuals; the reference injects the (zero) boundary residual there
+    i = jnp.arange(ncr)[:, None]
+    j = jnp.arange(ncc)[None, :]
+    keep = (i > 0) & (i < ncr - 1) & (j > 0) & (j < ncc - 1)
+    return jnp.where(keep, out, 0.0)
+
+
+def _prolong_smooth_kernel(u_hbm, f_hbm, uc_hbm, out_ref, us, fs, ucs,
+                           sem_u, sem_f, sem_c, *, tile, n_rows, n_cols,
+                           dx2i, dy2i, sweeps):
+    t = pl.program_id(0)
+    slab = tile + 2 * GUARD
+    slab_c = tile // 2 + 2 * GUARD
+    p0 = t * tile                        # padded fine row of slab start
+    q0 = t * (tile // 2)                 # padded coarse row of slab start
+    cu = pltpu.make_async_copy(u_hbm.at[pl.ds(p0, slab), :], us, sem_u)
+    cf = pltpu.make_async_copy(f_hbm.at[pl.ds(p0, slab), :], fs, sem_f)
+    cc = pltpu.make_async_copy(uc_hbm.at[pl.ds(q0, slab_c), :], ucs, sem_c)
+    cu.start()
+    cf.start()
+    cc.start()
+    cu.wait()
+    cf.wait()
+    cc.wait()
+
+    u = us[:, :]                         # (slab, W)
+    f = fs[:, :]
+    uc = ucs[:, :]                       # (slab_c, WC);  WC = W/2 + 256
+    W = u.shape[1]
+
+    # row interpolate: fine slab row k (global g = p0 + k - GUARD) reads
+    # coarse slab rows kc with delta = k - 2 kc + GUARD in {0: w 1.0,
+    # +-1: w 0.5} — a "row = 2 col - GUARD" band, i.e. the TRANSPOSE of
+    # _band_matrix's "col = 2 row + offset" structure
+    pr = _band_matrix(slab_c, slab, -GUARD, 1.0, 0.5, u.dtype).T
+    rowp = jax.lax.dot(pr, uc, precision=_MM_PRECISION)      # (slab, WC)
+
+    # column interpolate in 256-lane output windows: fine lanes
+    # jj = [256k, 256k+256) read coarse lanes [128k-1, 128k+129); uc
+    # comes left-padded by 128 lanes, so the slice [128k, 128k+384)
+    # makes the band window-invariant: delta = jj - 2 cc + 256
+    pc = _band_matrix(384, 256, -256, 1.0, 0.5, u.dtype)     # (cc, jj)
+    parts = []
+    for k in range(W // 256):
+        win = jax.lax.slice(rowp, (0, 128 * k), (slab, 128 * k + 384))
+        parts.append(jax.lax.dot(win, pc, precision=_MM_PRECISION))
+    corr = jnp.concatenate(parts, axis=1)                    # (slab, W)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + (p0 - GUARD)
+    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    interior = (
+        (rows > 0) & (rows < n_rows - 1) & (cols > 0) & (cols < n_cols - 1)
+    )
+    u = u + jnp.where(interior, corr, 0.0)
+
+    parity = (rows + cols) % 2
+    diag = -2.0 * dx2i - 2.0 * dy2i
+
+    def half(ucur, want):
+        north = jnp.pad(ucur[:-1, :], ((1, 0), (0, 0)))
+        south = jnp.pad(ucur[1:, :], ((0, 1), (0, 0)))
+        west = jnp.pad(ucur[:, :-1], ((0, 0), (1, 0)))
+        east = jnp.pad(ucur[:, 1:], ((0, 0), (0, 1)))
+        lap = ((north - 2.0 * ucur + south) * dx2i
+               + (west - 2.0 * ucur + east) * dy2i)
+        r = jnp.where(interior & (parity == want), f - lap, 0.0)
+        return ucur + r / diag
+
+    for _ in range(sweeps):
+        u = half(u, 0)
+        u = half(u, 1)
+    out_ref[:, :] = u[GUARD : GUARD + tile, :]
+
+
+def prolong_correct_smooth_fused(u, f, uc, dx: float, dy: float,
+                                 sweeps: int, tile: int = 64,
+                                 interpret: bool | None = None):
+    """The complete V-cycle ascend edge — bilinear prolongation of the
+    coarse correction, interior-masked add, then `sweeps` red-black GS
+    post-smoothing sweeps — in ONE slab pass (mg_N.jl:94-105).  Matches
+    smooth(u + prolongation(uc)*imask, f, sweeps).  2*sweeps <= GUARD
+    (validity ring shrinks one row per half-update)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    assert 2 * sweeps <= GUARD, "sweeps too large for the halo guard"
+    assert tile % 16 == 0, "coarse slab DMAs need tile//2 8-row aligned"
+    n_rows, n_cols = u.shape
+    nc_rows, nc_cols = uc.shape
+    tn = -(-n_rows // tile)
+    rows_fp = tile * tn + 2 * GUARD
+    W = n_cols + (-n_cols) % 256
+    rows_cp = (tile // 2) * tn + 2 * GUARD
+    WC = W // 2 + 256
+
+    pad = ((GUARD, rows_fp - GUARD - n_rows), (0, W - n_cols))
+    up = jnp.pad(u, pad)
+    fp = jnp.pad(f, pad)
+    ucp = jnp.pad(uc, ((GUARD, rows_cp - GUARD - nc_rows),
+                       (128, WC - 128 - nc_cols)))
+
+    kernel = functools.partial(
+        _prolong_smooth_kernel, tile=tile, n_rows=n_rows, n_cols=n_cols,
+        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((tile * tn, W), u.dtype),
+        grid=(tn,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile, W), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * GUARD, W), u.dtype),
+            pltpu.VMEM((tile + 2 * GUARD, W), f.dtype),
+            pltpu.VMEM((tile // 2 + 2 * GUARD, WC), uc.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(up, fp, ucp)
+    return out[:n_rows, :n_cols]
 
 
 # ------------------------------------------------- fused vorticity RHS
@@ -236,8 +490,8 @@ def arakawa_rhs_fused(w, s, dx: float, dy: float, re: float,
         out_shape=jax.ShapeDtypeStruct((rows_p, W), w.dtype),
         grid=(rows_p // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((tile, W), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),

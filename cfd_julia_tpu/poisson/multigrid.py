@@ -199,6 +199,11 @@ class MGConfig:
     max_cycles: int = 100
     transfers: str = "auto"    # auto | conv | matmul | reshape
                                # (benchmarks/tpu_microbench.py measures)
+    fused: str = "auto"        # auto | on | off: Pallas-fused level-edge
+                               # kernels (residual+restrict descend,
+                               # prolong+correct+smooth ascend) on levels
+                               # >= _FUSED_MIN — every XLA transfer
+                               # formulation is relayout-bound on TPU
 
 
 _TRANSFERS = {
@@ -232,8 +237,29 @@ def _build_levels(nx, ny, dx, dy, n_levels):
     return levels
 
 
+_FUSED_MIN = 512  # smallest level worth a fused kernel's DMA setup
+
+
+def _use_fused(cfg: MGConfig, nx: int, ny: int, sweeps: int) -> bool:
+    from cfd_julia_tpu.ops import pallas_kernels
+
+    if 2 * sweeps > pallas_kernels.GUARD:
+        return False               # post-smooth exceeds the halo guard
+    if cfg.fused == "on":
+        return True
+    return (cfg.fused == "auto" and jax.default_backend() == "tpu"
+            and min(nx, ny) >= _FUSED_MIN)
+
+
 def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
-    """One V-cycle over the static level pyramid (mg_N.jl:53-106)."""
+    """One V-cycle over the static level pyramid (mg_N.jl:53-106).
+
+    On TPU, levels >= _FUSED_MIN run both level edges as single Pallas
+    slab passes (ops.pallas_kernels.residual_restrict_fused /
+    prolong_correct_smooth_fused) — element-equal to the XLA path, at a
+    fraction of the HBM traffic."""
+    from cfd_julia_tpu.ops import pallas_kernels
+
     n = len(levels)
     impls = impls or [_pick_smoother(l[0], l[1]) for l in levels]
     restrict_fn, prolong_fn = _pick_transfers(cfg.transfers)
@@ -245,8 +271,13 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     us = [u]
     for k in range(1, n):
         nxp, nyp, dxp, dyp = levels[k - 1]
-        r = residual_full(fs[k - 1], us[k - 1], dxp, dyp, imasks[k - 1])
-        fk = restrict_fn(r)
+        if _use_fused(cfg, nxp, nyp, 0):
+            fk = pallas_kernels.residual_restrict_fused(
+                us[k - 1], fs[k - 1], dxp, dyp)
+        else:
+            r = residual_full(fs[k - 1], us[k - 1], dxp, dyp,
+                              imasks[k - 1])
+            fk = restrict_fn(r)
         nxk, nyk, dxk, dyk = levels[k]
         uk = jnp.zeros((nxk + 1, nyk + 1), u.dtype)
         iters = cfg.v1 if k < n - 1 else cfg.v2
@@ -257,6 +288,10 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     # ascend: prolongate -> correct -> relax
     for k in range(n - 1, 0, -1):
         nxp, nyp, dxp, dyp = levels[k - 1]
+        if _use_fused(cfg, nxp, nyp, cfg.v3):
+            us[k - 1] = pallas_kernels.prolong_correct_smooth_fused(
+                us[k - 1], fs[k - 1], us[k], dxp, dyp, cfg.v3)
+            continue
         corr = prolong_fn(us[k]) * imasks[k - 1]
         us[k - 1] = us[k - 1] + corr
         us[k - 1] = smooth(us[k - 1], fs[k - 1], dxp, dyp, cfg.v3,

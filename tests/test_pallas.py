@@ -70,3 +70,46 @@ def test_redblack_multi_sweep_per_call(iters):
                                                interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("shape,tile", [((65, 65), 8), ((33, 65), 16),
+                                        ((129, 129), 64)])
+def test_residual_restrict_fused_matches(shape, tile):
+    from cfd_julia_tpu.poisson import multigrid
+
+    rng = np.random.default_rng(3)
+    nr, nc = shape
+    dx, dy = 1.0 / (nr - 1), 1.0 / (nc - 1)
+    u = jnp.asarray(rng.standard_normal(shape))
+    f = jnp.asarray(rng.standard_normal(shape))
+    mask = iterative.interior_mask(nr - 1, nc - 1, u.dtype)
+    ref = multigrid.restriction(
+        iterative.residual_full(f, u, dx, dy, mask))
+    out = pallas_kernels.residual_restrict_fused(u, f, dx, dy, tile=tile,
+                                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-11)
+
+
+@pytest.mark.parametrize("shape,tile,sweeps", [((65, 65), 16, 0),
+                                               ((65, 65), 16, 2),
+                                               ((129, 65), 64, 3),
+                                               ((129, 129), 32, 4)])
+def test_prolong_correct_smooth_fused_matches(shape, tile, sweeps):
+    from cfd_julia_tpu.poisson import multigrid
+
+    rng = np.random.default_rng(4)
+    nr, nc = shape
+    dx, dy = 1.0 / (nr - 1), 1.0 / (nc - 1)
+    u = jnp.asarray(rng.standard_normal(shape))
+    f = jnp.asarray(rng.standard_normal(shape))
+    uc = jnp.asarray(rng.standard_normal(((nr - 1) // 2 + 1,
+                                          (nc - 1) // 2 + 1)))
+    imask = iterative.interior_mask(nr - 1, nc - 1, u.dtype)
+    masks = iterative.color_masks(nr - 1, nc - 1, u.dtype)
+    ref = multigrid.smooth(u + multigrid.prolongation(uc) * imask, f,
+                           dx, dy, sweeps, masks, impl="xla")
+    out = pallas_kernels.prolong_correct_smooth_fused(
+        u, f, uc, dx, dy, sweeps, tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-11)

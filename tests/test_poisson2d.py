@@ -156,3 +156,26 @@ def test_mg_transfer_configs_converge():
         u0 = poisson2d._dirichlet_init(ue)
         res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
         assert float(res.rms / res.rms0) <= 1e-9, transfers
+
+
+def test_mg_fused_edges_match_xla_vcycle():
+    """fused="on" (Pallas level-edge kernels, interpret on CPU) converges
+    identically to the XLA path — same V-cycle math, same iteration
+    count, element-close solutions."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    results = {}
+    for fused in ("off", "on"):
+        mgc = multigrid.MGConfig(tol=1e-9, max_cycles=30, fused=fused)
+        cfg = poisson2d.PoissonConfig(nx=64, ny=64, solver="multigrid",
+                                      problem="poly", mg=mgc)
+        _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float64)
+        u0 = poisson2d._dirichlet_init(ue)
+        results[fused] = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
+    assert int(results["on"].iterations) == int(results["off"].iterations)
+    np.testing.assert_allclose(np.asarray(results["on"].u),
+                               np.asarray(results["off"].u),
+                               rtol=1e-10, atol=1e-12)
