@@ -144,10 +144,16 @@ def bench_cavity(n):
     from cfd_julia_tpu.models import cavity
 
     w0 = jnp.zeros((n + 1, n + 1), jnp.float32)
-    for poisson in ("fst", "fst_half", "matmul", "matmul_bf16x3", "fst_mxu"):
-        cfg = cavity.CavityConfig(nx=n, ny=n, dt=2e-5, poisson=poisson)
+    variants = [("fst", "highest"), ("fst_half", "highest"),
+                ("matmul", "highest"), ("matmul_bf16x3", "highest"),
+                ("fst_mxu", "highest"), ("fst_half_mxu", "highest"),
+                ("fst_half_mxu", "high")]
+    for poisson, prec in variants:
+        cfg = cavity.CavityConfig(nx=n, ny=n, dt=2e-5, poisson=poisson,
+                                  fft_precision=prec)
         step = cavity.make_step_fn(cfg)
-        timed(f"cavity_{poisson}_{n}", step,
+        tag = poisson if prec == "highest" else f"{poisson}_{prec}"
+        timed(f"cavity_{tag}_{n}", step,
               (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32)),
               iters=50)
 
@@ -165,10 +171,11 @@ def bench_ps23(n):
     h0 = jax.jit(vortex.half_init_packed)(w0)
     timed(f"ps23_full_{n}", full, wf, iters=10)
     timed(f"ps23_half_{n}", half, h0, iters=10)
-    cfg_mm = vortex.VortexConfig(nx=n, ny=n, solver="ps23", dt=1e-3,
-                                 fft_impl="matmul")
-    half_mm = vortex.make_spectral_step_half_packed(cfg_mm, jnp.float32)
-    timed(f"ps23_half_mxufft_{n}", half_mm, h0, iters=10)
+    for prec in ("highest", "high"):
+        cfg_mm = vortex.VortexConfig(nx=n, ny=n, solver="ps23", dt=1e-3,
+                                     fft_impl="matmul", fft_precision=prec)
+        half_mm = vortex.make_spectral_step_half_packed(cfg_mm, jnp.float32)
+        timed(f"ps23_half_mxufft_{prec}_{n}", half_mm, h0, iters=10)
 
 
 def bench_fft(n):
@@ -183,20 +190,24 @@ def bench_fft(n):
     x = jnp.asarray(
         rng.standard_normal((2, n, n)), jnp.float32)  # packed Re/Im
 
-    @jax.jit
-    def rel_err(h):
-        z = spectral.unpack_c(h)
-        ref = jnp.fft.fft2(z)
-        return jnp.abs(mxu_fft.fft2_matmul(z) - ref).max() / jnp.abs(ref).max()
+    for prec in ("highest", "high"):
+        @jax.jit
+        def rel_err(h, p=prec):
+            z = spectral.unpack_c(h)
+            ref = jnp.fft.fft2(z)
+            return (jnp.abs(mxu_fft.fft2_matmul(z, p) - ref).max()
+                    / jnp.abs(ref).max())
 
-    print(json.dumps({"bench": f"mxufft_rel_err_{n}",
-                      "val": float(rel_err(x))}), flush=True)
+        print(json.dumps({"bench": f"mxufft_rel_err_{prec}_{n}",
+                          "val": float(rel_err(x))}), flush=True)
     timed(f"fft2_xla_{n}",
           lambda h: spectral.pack_c(jnp.fft.ifft2(jnp.fft.fft2(
               spectral.unpack_c(h)))), x, iters=10)
-    timed(f"fft2_mxu_{n}",
-          lambda h: spectral.pack_c(mxu_fft.ifft2_matmul(mxu_fft.fft2_matmul(
-              spectral.unpack_c(h)))), x, iters=10)
+    for prec in ("highest", "high"):
+        timed(f"fft2_mxu_{prec}_{n}",
+              lambda h, p=prec: spectral.pack_c(mxu_fft.ifft2_matmul(
+                  mxu_fft.fft2_matmul(spectral.unpack_c(h), p), p)),
+              x, iters=10)
 
 
 def bench_pallas_rhs(n):
@@ -265,6 +276,10 @@ def bench_dst(n):
     timed(f"fst_half_{n}",
           lambda x: direct.solve_fst(x, dx, dx, impl="half"), f,
           iters=20)
+    for prec in ("highest", "high"):
+        timed(f"fst_half_mxu_{prec}_{n}",
+              lambda x, p=prec: direct.solve_fst(x, dx, dx, impl="half_mxu",
+                                                 precision=p), f, iters=20)
 
 
 def main():

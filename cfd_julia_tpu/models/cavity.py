@@ -43,8 +43,11 @@ class CavityConfig:
                              # fst_half (DST-I via the half-length rfft +
                              # pre/post passes) | matmul (dense MXU sine
                              # transform) | fst_mxu (DST-I via the
-                             # four-step MXU matmul FFT) — same eigenvalues
-                             # and results; selected by TPU microbench
+                             # four-step MXU matmul FFT) | fst_half_mxu
+                             # (half-length rfft on the MXU) — same
+                             # eigenvalues and results; TPU microbench picks
+    fft_precision: str = "highest"   # matmul-FFT impls: "highest"
+                             # (fp32-exact) | "high" (3-pass bf16, 2x MXU)
 
     @property
     def dx(self) -> float:
@@ -188,9 +191,14 @@ def make_step_fn(cfg: CavityConfig, mesh=None):
         prec = "high" if cfg.poisson == "matmul_bf16x3" else "highest"
         solve = lambda f: direct.solve_fst_matmul_padded(
             f, cfg.nx, cfg.ny, dx, dy, mm_precision=prec)
+    elif cfg.poisson == "fst_half_mxu":
+        # half-length DST with its rfft on the MXU
+        solve = lambda f: direct.solve_fst(f, dx, dy, impl="half_mxu",
+                                           precision=cfg.fft_precision)
     elif cfg.poisson == "fst_mxu":
         # odd-extension DST through the four-step MXU FFT
-        solve = lambda f: direct.solve_fst(f, dx, dy, impl="matmul")
+        solve = lambda f: direct.solve_fst(f, dx, dy, impl="matmul",
+                                           precision=cfg.fft_precision)
     elif cfg.poisson == "fst_half":
         # half-length-rfft DST (FFTPACK-style pre/post passes)
         solve = lambda f: direct.solve_fst(f, dx, dy, impl="half")

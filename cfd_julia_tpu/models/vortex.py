@@ -54,6 +54,9 @@ class VortexConfig:
     rhs_impl: str = "xla"    # xla | pallas (fdm solver's Arakawa kernel)
     fft_impl: str = "xla"    # xla | matmul (four-step MXU FFT,
                              # ops.mxu_fft; any composite grid size)
+    fft_precision: str = "highest"   # matmul-FFT precision: "highest"
+                             # (fp32-exact 6-pass bf16) | "high" (3-pass,
+                             # ~fp32 accuracy, 2x MXU throughput)
 
     @property
     def dx(self) -> float:
@@ -332,9 +335,14 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
     cn = _cn_consts(cfg, k2h, dtype)
 
     if cfg.fft_impl == "matmul":
+        import functools
+
         from cfd_julia_tpu.ops import mxu_fft
 
-        ifft2_fn, rfft2_fn = mxu_fft.ifft2_matmul, mxu_fft.rfft2_matmul
+        ifft2_fn = functools.partial(mxu_fft.ifft2_matmul,
+                                     precision=cfg.fft_precision)
+        rfft2_fn = functools.partial(mxu_fft.rfft2_matmul,
+                                     precision=cfg.fft_precision)
     else:
         ifft2_fn, rfft2_fn = jnp.fft.ifft2, jnp.fft.rfft2
 
@@ -367,11 +375,17 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
             nyq_over_scale = nyq / scale   # fold the Nyquist zeroing
                                            # (see jacobian_ps32) + rescale
             if cfg.fft_impl == "matmul":
+                import functools
+
                 from cfd_julia_tpu.ops import mxu_fft
 
                 ok = mxu_fft.supported(nxe) and mxu_fft.supported(nye)
-                ifft_e = mxu_fft.ifft2_matmul if ok else jnp.fft.ifft2
-                rfft_e = mxu_fft.rfft2_matmul if ok else jnp.fft.rfft2
+                ifft_e = (functools.partial(mxu_fft.ifft2_matmul,
+                                            precision=cfg.fft_precision)
+                          if ok else jnp.fft.ifft2)
+                rfft_e = (functools.partial(mxu_fft.rfft2_matmul,
+                                            precision=cfg.fft_precision)
+                          if ok else jnp.fft.rfft2)
             else:
                 ifft_e, rfft_e = ifft2_fn, rfft2_fn
 

@@ -177,6 +177,14 @@ def _apply_last_real(x, n: int, precision: str):
     return out.reshape(lead + (n,))[..., : n // 2 + 1]
 
 
+def rfft_matmul(x, axis: int = -1, precision: str = "highest"):
+    """rfft along `axis` of a REAL array via the two-real-matmul first
+    stage; matches jnp.fft.rfft."""
+    x = jnp.moveaxis(x, axis, -1)
+    out = _apply_last_real(x, x.shape[-1], precision)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def rfft2_matmul(x, precision: str = "highest"):
     """rfft2 of a REAL field: real-matmul transform along the last axis
     keeps only the non-redundant half before the (complex) second-axis

@@ -210,7 +210,7 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
 
 # ----------------------------------------------------------------- DST-I
 
-def _dst1_half_last(v):
+def _dst1_half_last(v, rfft_fn=None):
     """DST-I along the last axis via a length-(m+1) rfft — HALF the
     odd-extension transform length (FFTPACK RODFT00 pre/post processing,
     Swarztrauber 1982; verified to roundoff vs scipy.fft.dst type 1).
@@ -234,7 +234,7 @@ def _dst1_half_last(v):
     y1 = s * (v + b) + 0.5 * (v - b)
     y = jnp.concatenate(
         [jnp.zeros(v.shape[:-1] + (1,), dtype), y1], axis=-1)
-    Y = jnp.fft.rfft(y, axis=-1)                 # (..., N//2 + 1)
+    Y = (rfft_fn or (lambda a: jnp.fft.rfft(a, axis=-1)))(y)  # (..., N//2+1)
     re = jnp.real(Y).astype(dtype)
     im = jnp.imag(Y).astype(dtype)
     odd = jnp.cumsum(re, axis=-1) - 0.5 * re[..., :1]   # k = 1, 3, 5, ...
@@ -251,7 +251,8 @@ def _dst1_half_last(v):
     return inter[..., :m]
 
 
-def dst1(v, axis: int = -1, mesh=None, impl: str = "rfft"):
+def dst1(v, axis: int = -1, mesh=None, impl: str = "rfft",
+         precision: str = "highest"):
     """DST-I along `axis`: X_k = 2 sum_j v_j sin(pi (j+1)(k+1) / (m+1)),
     matching FFTW's unnormalized RODFT00 on m interior points.
 
@@ -259,8 +260,11 @@ def dst1(v, axis: int = -1, mesh=None, impl: str = "rfft"):
     impl="half": length-(m+1) rfft + pre/post passes (_dst1_half_last) —
     half the transform length of the odd extension.
     impl="matmul": same odd extension through the four-step MXU FFT
-    (ops.mxu_fft) — the transform becomes two small dense matmuls on the
-    systolic array; ~2.6x fewer flops than the dense sine matmul.
+    (ops.mxu_fft, real-input path) — the transform becomes full-width
+    matmuls on the systolic array.
+    impl="half_mxu": the half-length formulation with its rfft on the MXU
+    — the fastest matmul form (half the matmul flops of "matmul").
+    `precision` reaches the MXU impls ("high" = 3-pass bf16 perf path).
 
     With a mesh, the transform axis is made local (pencil constraint) and —
     because DST rows are independent — the non-transform axis is zero-padded
@@ -280,13 +284,19 @@ def dst1(v, axis: int = -1, mesh=None, impl: str = "rfft"):
         v = _constrain(v, mesh, P(tuple(mesh.axis_names), None))
     if impl == "half":
         X = 2.0 * _dst1_half_last(v)
+    elif impl == "half_mxu":
+        from cfd_julia_tpu.ops import mxu_fft
+
+        X = 2.0 * _dst1_half_last(
+            v, lambda a: mxu_fft.rfft_matmul(a, precision=precision))
     else:
         z = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
         y = jnp.concatenate([z, v, z, -v[..., ::-1]], axis=-1)  # len 2(m+1)
         if impl == "matmul":
             from cfd_julia_tpu.ops import mxu_fft
 
-            X = -mxu_fft.fft_matmul(y).imag[..., 1 : m + 1]
+            X = -mxu_fft.rfft_matmul(y, precision=precision
+                                     ).imag[..., 1 : m + 1]
         else:
             X = -jnp.fft.rfft(y, axis=-1).imag[..., 1 : m + 1]
     X = X.astype(v.dtype)
@@ -295,20 +305,21 @@ def dst1(v, axis: int = -1, mesh=None, impl: str = "rfft"):
     return jnp.moveaxis(X, -1, axis)
 
 
-def dst1_2d(v, mesh=None, impl: str = "rfft"):
+def dst1_2d(v, mesh=None, impl: str = "rfft", precision: str = "highest"):
     """2D DST-I over the last two axes (= FFTW.r2r(..., RODFT00))."""
-    return dst1(dst1(v, axis=-1, mesh=mesh, impl=impl),
-                axis=-2, mesh=mesh, impl=impl)
+    return dst1(dst1(v, axis=-1, mesh=mesh, impl=impl, precision=precision),
+                axis=-2, mesh=mesh, impl=impl, precision=precision)
 
 
-def idst1_2d(v, norm_nx: int, norm_ny: int, mesh=None, impl: str = "rfft"):
+def idst1_2d(v, norm_nx: int, norm_ny: int, mesh=None, impl: str = "rfft",
+             precision: str = "highest"):
     """Inverse 2D DST-I with the reference normalization /(2 nx * 2 ny)
     (fft_d.jl:22): the forward pair applied twice scales by 4 nx ny."""
-    return dst1_2d(v, mesh, impl) / (4.0 * norm_nx * norm_ny)
+    return dst1_2d(v, mesh, impl, precision) / (4.0 * norm_nx * norm_ny)
 
 
 def fst_poisson_dirichlet(f_interior, dx: float, dy: float, mesh=None,
-                          impl: str = "rfft"):
+                          impl: str = "rfft", precision: str = "highest"):
     """Solve laplacian(u) = f with homogeneous Dirichlet BCs via DST-I.
 
     f_interior: (nx-1, ny-1) interior nodes of an (nx+1, ny+1) grid.
@@ -322,8 +333,8 @@ def fst_poisson_dirichlet(f_interior, dx: float, dy: float, mesh=None,
     den = (2.0 / dx**2) * (jnp.cos(jnp.pi * i / nx) - 1.0)[:, None] + (
         2.0 / dy**2
     ) * (jnp.cos(jnp.pi * j / ny) - 1.0)[None, :]
-    e = dst1_2d(f_interior, mesh, impl)
-    return idst1_2d(e / den, nx, ny, mesh, impl)
+    e = dst1_2d(f_interior, mesh, impl, precision)
+    return idst1_2d(e / den, nx, ny, mesh, impl, precision)
 
 
 # ------------------------------------------------------------- dealiasing

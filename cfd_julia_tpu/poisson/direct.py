@@ -24,11 +24,13 @@ def solve_fft(f, dx: float, dy: float, eigen: str = "fdm", mesh=None):
     return jnp.concatenate([un_full, col], axis=1)
 
 
-def solve_fst(f, dx: float, dy: float, mesh=None, impl: str = "rfft"):
+def solve_fst(f, dx: float, dy: float, mesh=None, impl: str = "rfft",
+              precision: str = "highest"):
     """Homogeneous-Dirichlet Poisson solve via DST-I on the interior.
     (Boundary ring rebuilt with jnp.pad, not scatter — GSPMD-safe.)"""
     interior = spectral.fst_poisson_dirichlet(f[1:-1, 1:-1], dx, dy,
-                                              mesh=mesh, impl=impl)
+                                              mesh=mesh, impl=impl,
+                                              precision=precision)
     return jnp.pad(interior, 1)
 
 

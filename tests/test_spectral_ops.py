@@ -26,6 +26,16 @@ def test_dst1_half_matches_scipy(shape):
     np.testing.assert_allclose(mine, dstn(v, type=1), rtol=1e-12, atol=1e-11)
 
 
+@pytest.mark.parametrize("impl", ["matmul", "half_mxu"])
+@pytest.mark.parametrize("shape", [(7, 5), (16, 16), (31, 33), (63, 63)])
+def test_dst1_mxu_impls_match_scipy(shape, impl):
+    """MXU-matmul DST forms (odd-extension real-rfft and half-length
+    real-rfft) == scipy RODFT00."""
+    v = RNG.standard_normal(shape)
+    mine = np.asarray(spectral.dst1_2d(jnp.asarray(v), impl=impl))
+    np.testing.assert_allclose(mine, dstn(v, type=1), rtol=1e-11, atol=1e-10)
+
+
 def test_dst1_involution():
     """DST-I is its own inverse up to 2(m+1) per axis."""
     v = RNG.standard_normal((15, 15))
