@@ -94,22 +94,30 @@ def _timed_scan(step, state, steps: int, sync):
     return steps / dt, state
 
 
+CAVITY_VARIANTS = (
+    ("fst", "highest"), ("fst_half", "highest"), ("matmul", "highest"),
+    ("matmul_bf16x3", "highest"), ("fst_mxu", "highest"),
+    ("fst_half_mxu", "highest"), ("fst_half_mxu", "high"),
+)
+
+
 def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
-                 variants=("fst", "fst_half", "matmul", "matmul_bf16x3", "fst_mxu")):
+                 variants=CAVITY_VARIANTS):
     """Best cavity throughput across Poisson implementations (the rfft
-    DST-I path vs the MXU sine-matmul path — identical numerics, verified
+    DST-I paths vs the MXU matmul paths — identical numerics, verified
     in tests); returns (steps_per_sec, winning_variant)."""
     import jax.numpy as jnp
     from cfd_julia_tpu.models import cavity
 
     dtype = dtype or jnp.float32
     best, best_impl = 0.0, None
-    for poisson in variants:
+    for poisson, prec in variants:
+        name = poisson if prec == "highest" else f"{poisson}:{prec}"
         # per-variant isolation: a tunnel flap or compile failure in a
         # later variant must not discard an already-measured number
         try:
             cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5,
-                                      poisson=poisson)
+                                      poisson=poisson, fft_precision=prec)
             step = cavity.make_step_fn(cfg)
             w0 = jnp.zeros((nx + 1, nx + 1), dtype)
             state = (w0, jnp.zeros_like(w0), jnp.zeros((), dtype))
@@ -118,34 +126,58 @@ def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
             assert bool(jnp.isfinite(state[0]).all()), \
                 f"cavity bench ({poisson}) went non-finite"
         except Exception as e:
-            print(f"# cavity {nx}^2 poisson={poisson} failed: {e!r:.200}",
+            print(f"# cavity {nx}^2 poisson={name} failed: {e!r:.200}",
                   file=sys.stderr)
             continue
-        print(f"# cavity {nx}^2 poisson={poisson}: {sps:.1f} steps/s",
+        print(f"# cavity {nx}^2 poisson={name}: {sps:.1f} steps/s",
               file=sys.stderr)
         if sps > best:
-            best, best_impl = sps, poisson
+            best, best_impl = sps, name
     if best_impl is None:
         raise RuntimeError("all cavity Poisson variants failed")
     return best, best_impl
 
 
-def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=None):
+PS_VARIANTS = (("xla", "highest"), ("matmul", "high"), ("matmul", "highest"))
+
+
+def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=None,
+                         variants=PS_VARIANTS):
+    """Best ps23 throughput across FFT implementations; returns
+    (steps_per_sec, winning_variant)."""
     import jax
     import jax.numpy as jnp
     from cfd_julia_tpu.models import vortex
 
     dtype = dtype or jnp.float32
-
-    cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3)
-    # packed (real) state: complex64 jit params/outputs are rejected by
-    # the remote-TPU backend (see ops.spectral.pack_c)
-    step = vortex.make_spectral_step_half_packed(cfg, dtype)
-    w0 = vortex.initial_vorticity(cfg, dtype)
-    hf = jax.jit(vortex.half_init_packed)(w0)
-    sps, hf = _timed_scan(step, hf, steps,
-                          lambda s: float(jnp.abs(s).sum()))
-    return sps
+    w0 = None
+    best, best_impl = 0.0, None
+    for fft_impl, prec in variants:
+        name = fft_impl if prec == "highest" else f"{fft_impl}:{prec}"
+        try:
+            cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3,
+                                      fft_impl=fft_impl, fft_precision=prec)
+            # packed (real) state: complex64 jit params/outputs are
+            # rejected by the remote-TPU backend (see ops.spectral.pack_c)
+            step = vortex.make_spectral_step_half_packed(cfg, dtype)
+            if w0 is None:
+                w0 = vortex.initial_vorticity(cfg, dtype)
+            hf = jax.jit(vortex.half_init_packed)(w0)
+            sps, hf = _timed_scan(step, hf, steps,
+                                  lambda s: float(jnp.abs(s).sum()))
+            assert bool(jnp.isfinite(hf).all()), \
+                f"ps23 bench ({name}) went non-finite"
+        except Exception as e:
+            print(f"# ps23 {nx}^2 fft={name} failed: {e!r:.200}",
+                  file=sys.stderr)
+            continue
+        print(f"# ps23 {nx}^2 fft={name}: {sps:.1f} steps/s",
+              file=sys.stderr)
+        if sps > best:
+            best, best_impl = sps, name
+    if best_impl is None:
+        raise RuntimeError("all ps23 FFT variants failed")
+    return best, best_impl
 
 
 def bench_multigrid(nx: int = 4096, cycles: int = 10, dtype=None):
@@ -156,17 +188,35 @@ def bench_multigrid(nx: int = 4096, cycles: int = 10, dtype=None):
     from cfd_julia_tpu.poisson import multigrid
 
     dtype = dtype or jnp.float32
-    mgc = multigrid.MGConfig(tol=1e-30, max_cycles=cycles)
-    cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="multigrid",
-                                  problem="poly", mg=mgc)
-    _, _, _, _, ue, f = poisson2d.build_problem(cfg, dtype)
-    u0 = poisson2d._dirichlet_init(ue)
-    res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)  # compile
-    float(res.rms)
-    t0 = time.perf_counter()
-    res = multigrid.solve(f * (1.0 + 1e-6), u0, cfg.dx, cfg.dy, cfg=mgc)
-    float(res.rms)
-    return time.perf_counter() - t0
+    best = None
+    # race the Pallas-fused level edges against the pure-XLA V-cycle;
+    # per-variant isolation (an uncompilable kernel must not lose the run)
+    for fused in ("auto", "off"):
+        try:
+            mgc = multigrid.MGConfig(tol=1e-30, max_cycles=cycles,
+                                     fused=fused)
+            cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="multigrid",
+                                          problem="poly", mg=mgc)
+            _, _, _, _, ue, f = poisson2d.build_problem(cfg, dtype)
+            u0 = poisson2d._dirichlet_init(ue)
+            res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)  # compile
+            float(res.rms)
+            t0 = time.perf_counter()
+            res = multigrid.solve(f * (1.0 + 1e-6), u0, cfg.dx, cfg.dy,
+                                  cfg=mgc)
+            float(res.rms)
+            dt = time.perf_counter() - t0
+        except Exception as e:
+            print(f"# multigrid {nx}^2 fused={fused} failed: {e!r:.200}",
+                  file=sys.stderr)
+            continue
+        print(f"# multigrid {nx}^2 fused={fused}: {dt:.3f} s "
+              f"/ {cycles} V-cycles", file=sys.stderr)
+        if best is None or dt < best:
+            best = dt
+    if best is None:
+        raise RuntimeError("all multigrid variants failed")
+    return best
 
 
 def main(argv=None):
@@ -199,8 +249,8 @@ def main(argv=None):
 
     steps = 50 if args.quick else 200
     # --quick keeps its one-compile-one-number contract: only the proven
-    # fst variant; the full run races all three
-    variants = ("fst",) if args.quick else ("fst", "fst_half", "matmul", "matmul_bf16x3", "fst_mxu")
+    # fst variant; the full run races every formulation
+    variants = (("fst", "highest"),) if args.quick else CAVITY_VARIANTS
     try:
         cavity_sps, cavity_impl = bench_cavity(nx=args.nx, steps=steps,
                                                variants=variants)
@@ -226,9 +276,9 @@ def main(argv=None):
     if args.quick:
         return 0
     try:
-        ps_sps = bench_pseudospectral()
-        print(f"# pseudospectral 2048^2 fp32: {ps_sps:.1f} steps/s",
-              file=sys.stderr)
+        ps_sps, ps_impl = bench_pseudospectral()
+        print(f"# pseudospectral 2048^2 fp32 best={ps_impl}: "
+              f"{ps_sps:.1f} steps/s", file=sys.stderr)
     except Exception as e:  # secondary metric must not break the headline
         print(f"# pseudospectral bench failed: {e}", file=sys.stderr)
     try:
