@@ -37,4 +37,8 @@ timeout 3600 python benchmarks/tpu_microbench.py 2>&1 \
 echo "== 5. full bench (headline + secondaries) =="
 timeout 3600 python bench.py 2>&1 | tee "$OUT/bench_full_$STAMP.log"
 
+echo "== 6. variant solution-error study (fp32, on-TPU) =="
+timeout 3600 python benchmarks/variant_error_study.py 2>&1 \
+    | tee "$OUT/variant_err_$STAMP.log"
+
 echo "== done; next: set auto-selection heuristics from $OUT/microbench_full_$STAMP.log =="

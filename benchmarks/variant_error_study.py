@@ -1,0 +1,138 @@
+"""On-backend solution-error study for implementation VARIANTS.
+
+The microbench picks the fastest formulation (matmul FFTs, bf16x3
+precision, fused kernels); this quantifies that the winners match the
+baseline formulation's *solution*, on the same backend and dtype the
+bench runs (fp32 on the TPU — where matmul precision actually changes
+results; the CPU fp32 study cannot see it).
+
+Each case steps the same fp32 initial state through a baseline step and
+a variant step and reports field deltas relative to the field scale.
+
+    python benchmarks/variant_error_study.py [--quick]
+
+One JSON line per case; record alongside the fp32 study in BASELINE.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cfd_julia_tpu.jaxconfig import configure_jax  # noqa: E402
+
+configure_jax(cache_dir="~/.cache/jax_bench_cache", min_compile_secs=1.0)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _run(step, state, steps):
+    from cfd_julia_tpu.stepping import loop
+
+    return jax.jit(lambda s: loop.run_steps(step, s, steps))(state)
+
+
+def cavity_case(nx: int, steps: int, poisson: str, prec: str):
+    from cfd_julia_tpu.models import cavity
+
+    psis = {}
+    for tag, (p, pr) in {"base": ("fst", "highest"),
+                         "variant": (poisson, prec)}.items():
+        cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5, poisson=p,
+                                  fft_precision=pr)
+        w0 = jnp.zeros((nx + 1, nx + 1), jnp.float32)
+        s = _run(cavity.make_step_fn(cfg),
+                 (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32)),
+                 steps)
+        psis[tag] = np.asarray(s[1], np.float64)
+    scale = np.abs(psis["base"]).max()
+    d = np.abs(psis["variant"] - psis["base"])
+    return {"case": f"cavity_{nx}_{poisson}:{prec}",
+            "steps": steps,
+            "rel_linf_psi": float(d.max() / scale),
+            "rel_l2_psi": float(np.sqrt((d ** 2).mean()) / scale),
+            "psi_min_base": float(psis["base"].min()),
+            "psi_min_variant": float(psis["variant"].min())}
+
+
+def ps23_case(nx: int, steps: int, fft_impl: str, prec: str):
+    from cfd_julia_tpu.models import vortex
+
+    ws = {}
+    for tag, (fi, pr) in {"base": ("xla", "highest"),
+                          "variant": (fft_impl, prec)}.items():
+        cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3,
+                                  fft_impl=fi, fft_precision=pr)
+        step = vortex.make_spectral_step_half_packed(cfg, jnp.float32)
+        h0 = jax.jit(vortex.half_init_packed)(
+            vortex.initial_vorticity(cfg, jnp.float32))
+        hf = _run(step, h0, steps)
+        ws[tag] = np.asarray(jax.jit(
+            lambda h: vortex.half_decode_packed(h, cfg.ny, jnp.float32)
+        )(hf), np.float64)
+    scale = np.abs(ws["base"]).max()
+    d = np.abs(ws["variant"] - ws["base"])
+    return {"case": f"ps23_{nx}_fft={fft_impl}:{prec}",
+            "steps": steps,
+            "rel_linf_w": float(d.max() / scale),
+            "rel_l2_w": float(np.sqrt((d ** 2).mean()) / scale),
+            "enstrophy_rel_diff": float(
+                abs((ws["variant"] ** 2).sum() - (ws["base"] ** 2).sum())
+                / (ws["base"] ** 2).sum())}
+
+
+def mg_case(nx: int):
+    """Fused Pallas V-cycle vs XLA V-cycle: solve to the fp32 floor and
+    compare solutions + iteration counts."""
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    us = {}
+    its = {}
+    for tag, fused in {"base": "off", "variant": "auto"}.items():
+        mgc = multigrid.MGConfig(tol=1e-5, max_cycles=30, fused=fused)
+        cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="multigrid",
+                                      problem="poly", mg=mgc)
+        _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
+        u0 = poisson2d._dirichlet_init(ue)
+        res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
+        us[tag] = np.asarray(res.u, np.float64)
+        its[tag] = int(res.iterations)
+    scale = np.abs(us["base"]).max()
+    return {"case": f"mg_{nx}_fused", "cycles_base": its["base"],
+            "cycles_variant": its["variant"],
+            "rel_linf_u": float(np.abs(us["variant"] - us["base"]).max()
+                                / scale)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        jobs = [lambda: cavity_case(128, 200, "fst_half_mxu", "high"),
+                lambda: ps23_case(256, 50, "matmul", "high"),
+                lambda: mg_case(256)]
+    else:
+        jobs = [lambda: cavity_case(1024, 500, "fst_half_mxu", "high"),
+                lambda: cavity_case(1024, 500, "matmul_bf16x3", "high"),
+                lambda: ps23_case(2048, 60, "matmul", "high"),
+                lambda: mg_case(2048)]
+    for job in jobs:
+        try:
+            t0 = time.perf_counter()
+            r = job()
+            r["wall_s"] = round(time.perf_counter() - t0, 2)
+            print(json.dumps(r), flush=True)
+        except Exception as e:
+            print(json.dumps({"error": repr(e)[:300]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
