@@ -95,9 +95,11 @@ def _timed_scan(step, state, steps: int, sync):
 
 
 CAVITY_VARIANTS = (
-    ("fst", "highest"), ("fst_half", "highest"), ("matmul", "highest"),
-    ("matmul_bf16x3", "highest"), ("fst_mxu", "highest"),
-    ("fst_half_mxu", "highest"), ("fst_half_mxu", "high"),
+    ("fst", "highest", "xla"), ("fst_half", "highest", "xla"),
+    ("matmul", "highest", "xla"), ("matmul_bf16x3", "highest", "xla"),
+    ("fst_mxu", "highest", "xla"), ("fst_half_mxu", "highest", "xla"),
+    ("fst_half_mxu", "high", "xla"), ("fst", "highest", "pallas"),
+    ("fst_half_mxu", "high", "pallas"),
 )
 
 
@@ -111,13 +113,16 @@ def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
 
     dtype = dtype or jnp.float32
     best, best_impl = 0.0, None
-    for poisson, prec in variants:
+    for poisson, prec, rhs in variants:
         name = poisson if prec == "highest" else f"{poisson}:{prec}"
+        if rhs != "xla":
+            name += f"+{rhs}rhs"
         # per-variant isolation: a tunnel flap or compile failure in a
         # later variant must not discard an already-measured number
         try:
             cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5,
-                                      poisson=poisson, fft_precision=prec)
+                                      poisson=poisson, fft_precision=prec,
+                                      rhs_impl=rhs)
             step = cavity.make_step_fn(cfg)
             w0 = jnp.zeros((nx + 1, nx + 1), dtype)
             state = (w0, jnp.zeros_like(w0), jnp.zeros((), dtype))
@@ -250,7 +255,7 @@ def main(argv=None):
     steps = 50 if args.quick else 200
     # --quick keeps its one-compile-one-number contract: only the proven
     # fst variant; the full run races every formulation
-    variants = (("fst", "highest"),) if args.quick else CAVITY_VARIANTS
+    variants = (("fst", "highest", "xla"),) if args.quick else CAVITY_VARIANTS
     try:
         cavity_sps, cavity_impl = bench_cavity(nx=args.nx, steps=steps,
                                                variants=variants)

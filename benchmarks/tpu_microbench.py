@@ -144,15 +144,21 @@ def bench_cavity(n):
     from cfd_julia_tpu.models import cavity
 
     w0 = jnp.zeros((n + 1, n + 1), jnp.float32)
-    variants = [("fst", "highest"), ("fst_half", "highest"),
-                ("matmul", "highest"), ("matmul_bf16x3", "highest"),
-                ("fst_mxu", "highest"), ("fst_half_mxu", "highest"),
-                ("fst_half_mxu", "high")]
-    for poisson, prec in variants:
+    variants = [("fst", "highest", "xla"), ("fst_half", "highest", "xla"),
+                ("matmul", "highest", "xla"),
+                ("matmul_bf16x3", "highest", "xla"),
+                ("fst_mxu", "highest", "xla"),
+                ("fst_half_mxu", "highest", "xla"),
+                ("fst_half_mxu", "high", "xla"),
+                ("fst", "highest", "pallas"),
+                ("fst_half_mxu", "high", "pallas")]
+    for poisson, prec, rhs in variants:
         cfg = cavity.CavityConfig(nx=n, ny=n, dt=2e-5, poisson=poisson,
-                                  fft_precision=prec)
+                                  fft_precision=prec, rhs_impl=rhs)
         step = cavity.make_step_fn(cfg)
         tag = poisson if prec == "highest" else f"{poisson}_{prec}"
+        if rhs != "xla":
+            tag += f"_{rhs}rhs"
         timed(f"cavity_{tag}_{n}", step,
               (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32)),
               iters=50)

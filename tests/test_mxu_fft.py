@@ -70,6 +70,13 @@ def test_composite_lengths(n):
                                rtol=1e-10, atol=1e-9)
 
 
-def test_prime_length_rejected():
+def test_prime_length_handling():
+    """Primes <= 128 run as one dense matmul; larger primes (no composite
+    split, dense matrix would be huge) still raise."""
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 37)),
+                    jnp.complex128)
+    np.testing.assert_allclose(np.asarray(mxu_fft.fft_matmul(x)),
+                               np.fft.fft(np.asarray(x)),
+                               rtol=1e-12, atol=1e-11)
     with pytest.raises(ValueError):
-        mxu_fft.fft_matmul(jnp.zeros((4, 37), jnp.complex128))
+        mxu_fft.fft_matmul(jnp.zeros((4, 131), jnp.complex128))
