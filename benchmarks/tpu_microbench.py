@@ -98,6 +98,16 @@ def bench_mg_edges(n):
           lambda x: sc * multigrid.prolongation_matmul(
               pallas_kernels.residual_restrict_fused(x, f, dx, dx)),
           u, iters=10)
+    # full descend edge: v1=2 pre-smooth + residual + restrict
+    timed(f"edge_smoothresrestrict_xla_{n}",
+          lambda x: sc * multigrid.prolongation(multigrid.restriction(
+              iterative.residual_full(
+                  f, multigrid.smooth(x, f, dx, dx, 2, masks, impl="xla"),
+                  dx, dx, imask))), u, iters=10)
+    timed(f"edge_smoothresrestrict_fused_{n}",
+          lambda x: sc * multigrid.prolongation_matmul(
+              pallas_kernels.smooth_residual_restrict_fused(
+                  x, f, dx, dx, 2)[1]), u, iters=10)
     # ascend edge: prolong + correct + v3=2 post-smooth
     timed(f"edge_prolsmooth_xla_{n}",
           lambda x: multigrid.smooth(

@@ -226,6 +226,115 @@ def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
             win, b, precision=_MM_PRECISION)
 
 
+def _smooth_res_restrict_kernel(u_hbm, f_hbm, u_out, fc_out, us, fs,
+                                sem_u, sem_f, *, tc, n_rows, n_cols,
+                                dx2i, dy2i, sweeps, wc):
+    """`sweeps` red-black sweeps, then residual + full-weighting restrict
+    — the complete V-cycle descend edge for one level, dual outputs.
+    Halo budget: 2*sweeps (smoothing) + 1 (residual) + 1 (restrict row
+    combine) <= GUARD."""
+    t = pl.program_id(0)
+    slab = 2 * tc + 2 * GUARD
+    p0 = 2 * t * tc
+    cu = pltpu.make_async_copy(u_hbm.at[pl.ds(p0, slab), :], us, sem_u)
+    cf = pltpu.make_async_copy(f_hbm.at[pl.ds(p0, slab), :], fs, sem_f)
+    cu.start()
+    cf.start()
+    cu.wait()
+    cf.wait()
+
+    u = us[:, :]
+    f = fs[:, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + (p0 - GUARD)
+    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    interior = (
+        (rows > 0) & (rows < n_rows - 1) & (cols > 0) & (cols < n_cols - 1)
+    )
+    parity = (rows + cols) % 2
+    diag = -2.0 * dx2i - 2.0 * dy2i
+
+    def lap_of(ucur):
+        north = jnp.pad(ucur[:-1, :], ((1, 0), (0, 0)))
+        south = jnp.pad(ucur[1:, :], ((0, 1), (0, 0)))
+        west = jnp.pad(ucur[:, :-1], ((0, 0), (1, 0)))
+        east = jnp.pad(ucur[:, 1:], ((0, 0), (0, 1)))
+        return ((north - 2.0 * ucur + south) * dx2i
+                + (west - 2.0 * ucur + east) * dy2i)
+
+    for _ in range(sweeps):
+        for want in (0, 1):
+            r = jnp.where(interior & (parity == want), f - lap_of(u), 0.0)
+            u = u + r / diag
+    u_out[:, :] = u[GUARD : GUARD + 2 * tc, :]
+
+    r = jnp.where(interior, f - lap_of(u), 0.0)
+    a = _band_matrix(tc, slab, GUARD, 0.5, 0.25, r.dtype)
+    tm = jax.lax.dot(a, r, precision=_MM_PRECISION)          # (tc, W)
+    tp = jnp.pad(tm, ((0, 0), (128, 384)))
+    b = _band_matrix(128, 512, 128, 0.5, 0.25, r.dtype).T    # (512, 128)
+    for k in range(wc // 128):
+        win = jax.lax.slice(tp, (0, 256 * k), (tc, 256 * k + 512))
+        fc_out[:, 128 * k : 128 * (k + 1)] = jax.lax.dot(
+            win, b, precision=_MM_PRECISION)
+
+
+def smooth_residual_restrict_fused(u, f, dx: float, dy: float,
+                                   sweeps: int, tile: int = 64,
+                                   interpret: bool | None = None):
+    """The complete V-cycle descend edge in ONE slab pass: `sweeps`
+    red-black GS pre-smoothing sweeps, 5-point residual, full-weighting
+    restriction (mg_N.jl:74-92).  Returns (u_smoothed, f_coarse) ==
+    (smooth(u, f, sweeps),
+     restriction(residual_full(f, smooth(u, f, sweeps)))).
+    Requires 2*sweeps + 2 <= GUARD (halo validity)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    assert 2 * sweeps + 2 <= GUARD, "sweeps too large for the halo guard"
+    assert tile % 8 == 0, "coarse tile must keep slab DMAs 8-row aligned"
+    n_rows, n_cols = u.shape
+    ncr, ncc = (n_rows - 1) // 2 + 1, (n_cols - 1) // 2 + 1
+    tc = tile
+    tn = -(-ncr // tc)
+    rows_fp = 2 * tc * tn + 2 * GUARD
+    W = n_cols + (-n_cols) % 256
+    wc = W // 2
+
+    pad = ((GUARD, rows_fp - GUARD - n_rows), (0, W - n_cols))
+    up = jnp.pad(u, pad)
+    fp = jnp.pad(f, pad)
+
+    kernel = functools.partial(
+        _smooth_res_restrict_kernel, tc=tc, n_rows=n_rows, n_cols=n_cols,
+        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps, wc=wc,
+    )
+    us_out, fc = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((2 * tc * tn, W), u.dtype),
+                   jax.ShapeDtypeStruct((tc * tn, wc), u.dtype)),
+        grid=(tn,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(pl.BlockSpec((2 * tc, W), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tc, wc), lambda t: (t, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * tc + 2 * GUARD, W), u.dtype),
+            pltpu.VMEM((2 * tc + 2 * GUARD, W), f.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(up, fp)
+    fc = fc[:ncr, :ncc]
+    i = jnp.arange(ncr)[:, None]
+    j = jnp.arange(ncc)[None, :]
+    keep = (i > 0) & (i < ncr - 1) & (j > 0) & (j < ncc - 1)
+    return us_out[:n_rows, :n_cols], jnp.where(keep, fc, 0.0)
+
+
 def residual_restrict_fused(u, f, dx: float, dy: float, tile: int = 64,
                             interpret: bool | None = None):
     """restriction(residual_full(f, u, interior)) as ONE slab pass:

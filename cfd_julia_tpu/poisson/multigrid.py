@@ -240,11 +240,11 @@ def _build_levels(nx, ny, dx, dy, n_levels):
 _FUSED_MIN = 512  # smallest level worth a fused kernel's DMA setup
 
 
-def _use_fused(cfg: MGConfig, nx: int, ny: int, sweeps: int) -> bool:
+def _use_fused(cfg: MGConfig, nx: int, ny: int, halo_rows: int) -> bool:
     from cfd_julia_tpu.ops import pallas_kernels
 
-    if 2 * sweeps > pallas_kernels.GUARD:
-        return False               # post-smooth exceeds the halo guard
+    if halo_rows > pallas_kernels.GUARD:
+        return False               # sweeps exceed the halo guard
     if cfg.fused == "on":
         return True
     return (cfg.fused == "auto" and jax.default_backend() == "tpu"
@@ -263,32 +263,39 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     n = len(levels)
     impls = impls or [_pick_smoother(l[0], l[1]) for l in levels]
     restrict_fn, prolong_fn = _pick_transfers(cfg.transfers)
-    nx0, ny0, dx0, dy0 = levels[0]
-    u = smooth(u, f, dx0, dy0, cfg.v1, masks[0], impls[0])
 
-    # descend: residual -> restrict -> relax from zero
+    # descend: pre-smooth -> residual -> restrict -> next level from zero.
+    # Fused levels run the whole edge (smooth + residual + restrict) as
+    # ONE Pallas slab pass with dual outputs.
     fs = [f]
     us = [u]
-    for k in range(1, n):
-        nxp, nyp, dxp, dyp = levels[k - 1]
-        if _use_fused(cfg, nxp, nyp, 0):
-            fk = pallas_kernels.residual_restrict_fused(
-                us[k - 1], fs[k - 1], dxp, dyp)
-        else:
-            r = residual_full(fs[k - 1], us[k - 1], dxp, dyp,
-                              imasks[k - 1])
-            fk = restrict_fn(r)
+    for k in range(n - 1):
         nxk, nyk, dxk, dyk = levels[k]
-        uk = jnp.zeros((nxk + 1, nyk + 1), u.dtype)
-        iters = cfg.v1 if k < n - 1 else cfg.v2
-        uk = smooth(uk, fk, dxk, dyk, iters, masks[k], impls[k])
+        if _use_fused(cfg, nxk, nyk, 2 * cfg.v1 + 2):
+            uk, fk = pallas_kernels.smooth_residual_restrict_fused(
+                us[k], fs[k], dxk, dyk, cfg.v1)
+        elif _use_fused(cfg, nxk, nyk, 2 * cfg.v1):
+            # v1 too large for the combined halo: separate fused pieces
+            uk = smooth(us[k], fs[k], dxk, dyk, cfg.v1, masks[k], impls[k])
+            fk = pallas_kernels.residual_restrict_fused(
+                uk, fs[k], dxk, dyk)
+        else:
+            uk = smooth(us[k], fs[k], dxk, dyk, cfg.v1, masks[k], impls[k])
+            r = residual_full(fs[k], uk, dxk, dyk, imasks[k])
+            fk = restrict_fn(r)
+        us[k] = uk
         fs.append(fk)
-        us.append(uk)
+        nxn, nyn, _, _ = levels[k + 1]
+        us.append(jnp.zeros((nxn + 1, nyn + 1), u.dtype))
+    nxc, nyc, dxc, dyc = levels[n - 1]
+    us[n - 1] = smooth(us[n - 1], fs[n - 1], dxc, dyc,
+                       cfg.v2 if n > 1 else cfg.v1,
+                       masks[n - 1], impls[n - 1])
 
-    # ascend: prolongate -> correct -> relax
+    # ascend: prolongate -> correct -> relax (fused: one slab pass)
     for k in range(n - 1, 0, -1):
         nxp, nyp, dxp, dyp = levels[k - 1]
-        if _use_fused(cfg, nxp, nyp, cfg.v3):
+        if _use_fused(cfg, nxp, nyp, 2 * cfg.v3):
             us[k - 1] = pallas_kernels.prolong_correct_smooth_fused(
                 us[k - 1], fs[k - 1], us[k], dxp, dyp, cfg.v3)
             continue

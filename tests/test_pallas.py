@@ -113,3 +113,27 @@ def test_prolong_correct_smooth_fused_matches(shape, tile, sweeps):
         u, f, uc, dx, dy, sweeps, tile=tile, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-11)
+
+
+@pytest.mark.parametrize("shape,tile,sweeps", [((65, 65), 8, 1),
+                                               ((129, 65), 16, 2),
+                                               ((129, 129), 64, 3)])
+def test_smooth_residual_restrict_fused_matches(shape, tile, sweeps):
+    from cfd_julia_tpu.poisson import multigrid
+
+    rng = np.random.default_rng(5)
+    nr, nc = shape
+    dx, dy = 1.0 / (nr - 1), 1.0 / (nc - 1)
+    u = jnp.asarray(rng.standard_normal(shape))
+    f = jnp.asarray(rng.standard_normal(shape))
+    mask = iterative.interior_mask(nr - 1, nc - 1, u.dtype)
+    masks = iterative.color_masks(nr - 1, nc - 1, u.dtype)
+    ref_u = multigrid.smooth(u, f, dx, dy, sweeps, masks, impl="xla")
+    ref_fc = multigrid.restriction(
+        iterative.residual_full(f, ref_u, dx, dy, mask))
+    out_u, out_fc = pallas_kernels.smooth_residual_restrict_fused(
+        u, f, dx, dy, sweeps, tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref_u),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_fc), np.asarray(ref_fc),
+                               rtol=1e-12, atol=1e-11)
