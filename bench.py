@@ -143,7 +143,11 @@ def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
     return best, best_impl
 
 
-PS_VARIANTS = (("xla", "highest"), ("matmul", "high"), ("matmul", "highest"))
+PS_VARIANTS = (
+    ("xla", "highest", "pack"), ("xla", "highest", "rowsfirst"),
+    ("matmul", "high", "pack"), ("matmul", "high", "rowsfirst"),
+    ("matmul", "highest", "pack"),
+)
 
 
 def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=None,
@@ -157,11 +161,14 @@ def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=None,
     dtype = dtype or jnp.float32
     w0 = None
     best, best_impl = 0.0, None
-    for fft_impl, prec in variants:
+    for fft_impl, prec, pair in variants:
         name = fft_impl if prec == "highest" else f"{fft_impl}:{prec}"
+        if pair != "pack":
+            name += f"+{pair}"
         try:
             cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3,
-                                      fft_impl=fft_impl, fft_precision=prec)
+                                      fft_impl=fft_impl, fft_precision=prec,
+                                      pair_impl=pair)
             # packed (real) state: complex64 jit params/outputs are
             # rejected by the remote-TPU backend (see ops.spectral.pack_c)
             step = vortex.make_spectral_step_half_packed(cfg, dtype)

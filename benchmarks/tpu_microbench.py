@@ -187,11 +187,16 @@ def bench_ps23(n):
     h0 = jax.jit(vortex.half_init_packed)(w0)
     timed(f"ps23_full_{n}", full, wf, iters=10)
     timed(f"ps23_half_{n}", half, h0, iters=10)
-    for prec in ("highest", "high"):
-        cfg_mm = vortex.VortexConfig(nx=n, ny=n, solver="ps23", dt=1e-3,
-                                     fft_impl="matmul", fft_precision=prec)
-        half_mm = vortex.make_spectral_step_half_packed(cfg_mm, jnp.float32)
-        timed(f"ps23_half_mxufft_{prec}_{n}", half_mm, h0, iters=10)
+    for fft_impl, prec, pair in (("matmul", "highest", "pack"),
+                                 ("matmul", "high", "pack"),
+                                 ("matmul", "high", "rowsfirst"),
+                                 ("xla", "highest", "rowsfirst")):
+        cfg_v = vortex.VortexConfig(nx=n, ny=n, solver="ps23", dt=1e-3,
+                                    fft_impl=fft_impl, fft_precision=prec,
+                                    pair_impl=pair)
+        half_v = vortex.make_spectral_step_half_packed(cfg_v, jnp.float32)
+        tag = f"ps23_half_{fft_impl}_{prec}_{pair}_{n}"
+        timed(tag, half_v, h0, iters=10)
 
 
 def bench_fft(n):

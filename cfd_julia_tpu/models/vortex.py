@@ -57,6 +57,11 @@ class VortexConfig:
     fft_precision: str = "highest"   # matmul-FFT precision: "highest"
                              # (fp32-exact 6-pass bf16) | "high" (3-pass,
                              # ~fp32 accuracy, 2x MXU throughput)
+    pair_impl: str = "pack"  # pack (full Hermitian mirror, then ifft2) |
+                             # rowsfirst (mirror after the kx transform:
+                             # no row flip, all half-blocks in one
+                             # batched transform — see
+                             # spectral.ifft2_pairs_mirror_after_rows)
 
     @property
     def dx(self) -> float:
@@ -346,14 +351,32 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
     else:
         ifft2_fn, rfft2_fn = jnp.fft.ifft2, jnp.fft.rfft2
 
+    if cfg.fft_impl == "matmul":
+        from cfd_julia_tpu.ops import mxu_fft as _mxu
+
+        ifft_rows_fn = lambda x: _mxu.ifft_matmul(
+            x, axis=-2, precision=cfg.fft_precision)
+        ifft_cols_fn = lambda x: _mxu.ifft_matmul(
+            x, axis=-1, precision=cfg.fft_precision)
+    else:
+        ifft_rows_fn = ifft_cols_fn = None
+
+    def pairs_inverse(heads, tails):
+        """(P, nx, ny//2+1) packed-pair halves -> (P, nx, ny) physical."""
+        if cfg.pair_impl == "rowsfirst":
+            return spectral.ifft2_pairs_mirror_after_rows(
+                heads, tails, ny, ifft_rows_fn, ifft_cols_fn)
+        return ifft2_fn(jnp.stack([
+            spectral.pack_hermitian_pair(heads[p], tails[p], ny)
+            for p in range(heads.shape[0])]))
+
     if cfg.solver == "hybrid":
         cdtype = precision.complex_dtype(dtype)
         head = np.asarray(1.0 + 1j / k2h, cdtype)
         tail = np.asarray(1.0 - 1j / k2h, cdtype)
 
         def jac(H):
-            z = ifft2_fn(spectral.pack_hermitian_pair(
-                head * H, tail * H, ny))
+            z = pairs_inverse((head * H)[None], (tail * H)[None])[0]
             return rfft2_fn(
                 -arakawa.jacobian(z.real, z.imag, cfg.dx, cfg.dy))
     elif cfg.solver in ("ps32", "ps23"):
@@ -362,10 +385,8 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
 
         if cfg.solver == "ps23":
             def jac(H):
-                z = ifft2_fn(jnp.stack([
-                    spectral.pack_hermitian_pair(h1 * H, t1 * H, ny),
-                    spectral.pack_hermitian_pair(h2 * H, t2 * H, ny),
-                ]))
+                z = pairs_inverse(jnp.stack([h1 * H, h2 * H]),
+                                  jnp.stack([t1 * H, t2 * H]))
                 return rfft2_fn(z[0].real * z[0].imag
                                 - z[1].real * z[1].imag)
         else:

@@ -82,6 +82,25 @@ def pack_hermitian_pair(head, tail_src, n: int):
     return jnp.concatenate([head, tail], axis=-1)
 
 
+def ifft2_pairs_mirror_after_rows(heads, tails, n: int,
+                                  ifft_rows_fn=None, ifft_cols_fn=None):
+    """Batched ifft2(pack_hermitian_pair(head_p, tail_p, n)) for P pairs
+    WITHOUT the row-direction Hermitian flip: the kx-axis inverse
+    commutes with the mirror — ifft of conj(s[(n-i) % n]) equals
+    conj(ifft(s)) — so all 2P half-width blocks transform FIRST (one
+    batched axis -2 transform of (2P, n, n//2+1)) and only a column
+    flip+concat assembles the full-width intermediate before the axis -1
+    transform.  heads/tails: (P, n, n//2+1); returns (P, n, n)."""
+    if ifft_rows_fn is None:
+        ifft_rows_fn = lambda x: jnp.fft.ifft(x, axis=-2)
+    if ifft_cols_fn is None:
+        ifft_cols_fn = lambda x: jnp.fft.ifft(x, axis=-1)
+    r = ifft_rows_fn(jnp.concatenate([heads, tails], axis=0))
+    r1, r2 = r[: heads.shape[0]], jnp.conj(r[heads.shape[0] :])
+    tail = r2[..., :, 1 : n - n // 2][..., :, ::-1]
+    return ifft_cols_fn(jnp.concatenate([r1, tail], axis=-1))
+
+
 def hermitian_full(h, n: int):
     """Rebuild the full (.., n, n) spectrum of a REAL field from its rfft2
     half spectrum (.., n, n//2+1): full[i, j] = conj(h[(n-i)%n, n-j]) for

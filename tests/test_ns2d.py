@@ -215,3 +215,27 @@ def test_cavity_pallas_rhs_matches_xla():
         outs[rhs] = np.asarray(s[0])
     np.testing.assert_allclose(outs["pallas"], outs["xla"],
                                rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("solver", ["ps23", "hybrid"])
+@pytest.mark.parametrize("fft_impl", ["xla", "matmul"])
+def test_pair_impl_rowsfirst_matches_pack(solver, fft_impl):
+    """Mirror-after-rows pair inverse (no row flip, batched half-width
+    kx transform) steps identically to the full Hermitian pack."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cfd_julia_tpu.models import vortex
+    from cfd_julia_tpu.stepping import loop
+
+    outs = {}
+    for pair_impl in ("pack", "rowsfirst"):
+        cfg = vortex.VortexConfig(nx=48, ny=48, solver=solver, dt=5e-3,
+                                  fft_impl=fft_impl, pair_impl=pair_impl)
+        step = vortex.make_spectral_step_half_packed(cfg, jnp.float64)
+        h0 = jax.jit(vortex.half_init_packed)(
+            vortex.initial_vorticity(cfg, jnp.float64))
+        hf = jax.jit(lambda h: loop.run_steps(step, h, 10))(h0)
+        outs[pair_impl] = np.asarray(hf)
+    np.testing.assert_allclose(outs["rowsfirst"], outs["pack"],
+                               rtol=1e-11, atol=1e-11)
