@@ -211,7 +211,8 @@ def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
 
     # row combine+decimate: coarse local c <- fine slab rows 2c+GUARD -1/0/+1
     a = _band_matrix(tc, slab, GUARD, 0.5, 0.25, r.dtype)
-    tm = jax.lax.dot(a, r, precision=_MM_PRECISION)          # (tc, W)
+    tm = jax.lax.dot(a, r, precision=_MM_PRECISION,
+                     preferred_element_type=r.dtype)          # (tc, W)
 
     # column combine+decimate in 128-lane output windows: out lanes
     # [128k, 128k+128) read fine lanes [256k-1, 256k+257) — slice the
@@ -223,7 +224,8 @@ def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
     for k in range(wc // 128):
         win = jax.lax.slice(tp, (0, 256 * k), (tc, 256 * k + 512))
         out_ref[:, 128 * k : 128 * (k + 1)] = jax.lax.dot(
-            win, b, precision=_MM_PRECISION)
+            win, b, precision=_MM_PRECISION,
+            preferred_element_type=r.dtype)
 
 
 def _smooth_res_restrict_kernel(u_hbm, f_hbm, u_out, fc_out, us, fs,
@@ -269,13 +271,15 @@ def _smooth_res_restrict_kernel(u_hbm, f_hbm, u_out, fc_out, us, fs,
 
     r = jnp.where(interior, f - lap_of(u), 0.0)
     a = _band_matrix(tc, slab, GUARD, 0.5, 0.25, r.dtype)
-    tm = jax.lax.dot(a, r, precision=_MM_PRECISION)          # (tc, W)
+    tm = jax.lax.dot(a, r, precision=_MM_PRECISION,
+                     preferred_element_type=r.dtype)          # (tc, W)
     tp = jnp.pad(tm, ((0, 0), (128, 384)))
     b = _band_matrix(128, 512, 128, 0.5, 0.25, r.dtype).T    # (512, 128)
     for k in range(wc // 128):
         win = jax.lax.slice(tp, (0, 256 * k), (tc, 256 * k + 512))
         fc_out[:, 128 * k : 128 * (k + 1)] = jax.lax.dot(
-            win, b, precision=_MM_PRECISION)
+            win, b, precision=_MM_PRECISION,
+            preferred_element_type=r.dtype)
 
 
 def smooth_residual_restrict_fused(u, f, dx: float, dy: float,
@@ -416,7 +420,8 @@ def _prolong_smooth_kernel(u_hbm, f_hbm, uc_hbm, out_ref, us, fs, ucs,
     # +-1: w 0.5} — a "row = 2 col - GUARD" band, i.e. the TRANSPOSE of
     # _band_matrix's "col = 2 row + offset" structure
     pr = _band_matrix(slab_c, slab, -GUARD, 1.0, 0.5, u.dtype).T
-    rowp = jax.lax.dot(pr, uc, precision=_MM_PRECISION)      # (slab, WC)
+    rowp = jax.lax.dot(pr, uc, precision=_MM_PRECISION,
+                       preferred_element_type=uc.dtype)      # (slab, WC)
 
     # column interpolate in 256-lane output windows: fine lanes
     # jj = [256k, 256k+256) read coarse lanes [128k-1, 128k+129); uc
@@ -426,7 +431,8 @@ def _prolong_smooth_kernel(u_hbm, f_hbm, uc_hbm, out_ref, us, fs, ucs,
     parts = []
     for k in range(W // 256):
         win = jax.lax.slice(rowp, (0, 128 * k), (slab, 128 * k + 384))
-        parts.append(jax.lax.dot(win, pc, precision=_MM_PRECISION))
+        parts.append(jax.lax.dot(win, pc, precision=_MM_PRECISION,
+                                 preferred_element_type=uc.dtype))
     corr = jnp.concatenate(parts, axis=1)                    # (slab, W)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + (p0 - GUARD)
