@@ -142,3 +142,110 @@ def test_fp32_tgv_error(tpu):
     res = vortex.solve(cfg, jnp.float32)
     l2, _ = vortex.tgv_error(cfg, res)
     assert float(l2) < 5e-5, float(l2)
+
+
+def test_fused_mg_edges_compiled(tpu):
+    """The fused V-cycle level-edge kernels compile through Mosaic and
+    match the XLA compositions at a TPU-selected level size (512)."""
+    from cfd_julia_tpu.ops import pallas_kernels
+    from cfd_julia_tpu.poisson import iterative, multigrid
+
+    n = 512
+    dx = 1.0 / n
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    mask = iterative.interior_mask(n, n, jnp.float32)
+    masks = iterative.color_masks(n, n, jnp.float32)
+    uc = jnp.asarray(rng.standard_normal((n // 2 + 1, n // 2 + 1)),
+                     jnp.float32)
+
+    su, fc = pallas_kernels.smooth_residual_restrict_fused(u, f, dx, dx, 2)
+    ref_u = multigrid.smooth(u, f, dx, dx, 2, masks, impl="xla")
+    ref_fc = multigrid.restriction(
+        iterative.residual_full(f, ref_u, dx, dx, mask))
+    np.testing.assert_allclose(np.asarray(su), np.asarray(ref_u),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fc), np.asarray(ref_fc),
+                               rtol=0, atol=2e-4)
+
+    out = pallas_kernels.prolong_correct_smooth_fused(u, f, uc, dx, dx, 2)
+    ref = multigrid.smooth(u + multigrid.prolongation(uc) * mask, f,
+                           dx, dx, 2, masks, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-4)
+
+
+def test_mxu_fft_variants(tpu):
+    """Blocked four-step MXU FFT on the real chip: fp32 round trip and
+    rfft2 parity vs the XLA FFT at both precisions."""
+    from cfd_julia_tpu.ops import mxu_fft, spectral
+
+    rng = np.random.default_rng(8)
+    h = jnp.asarray(rng.standard_normal((2, 256, 256)), jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    for prec in ("highest", "high"):
+        @jax.jit
+        def err(hh, p=prec):
+            z = spectral.unpack_c(hh)
+            a = jnp.abs(mxu_fft.fft2_matmul(z, p) - jnp.fft.fft2(z)).max()
+            b = jnp.abs(mxu_fft.ifft2_matmul(z, p) - jnp.fft.ifft2(z)).max()
+            c = jnp.abs(mxu_fft.rfft2_matmul(xr, p)
+                        - jnp.fft.rfft2(xr)).max()
+            return a, b, c
+
+        a, b, c = err(h)
+        assert float(a) < 2e-2, (prec, float(a))   # fwd values ~O(256)
+        assert float(b) < 1e-5, (prec, float(b))
+        assert float(c) < 2e-2, (prec, float(c))
+
+
+def test_ps23_variant_steps_match_on_tpu(tpu):
+    """The raced ps23 formulations (matmul FFT at high precision,
+    mirror-after-rows pairs) all step to the same fp32 state on TPU."""
+    from cfd_julia_tpu.models import vortex
+
+    w0 = None
+    outs = {}
+    for name, kw in {
+        "base": dict(),
+        "mm_high": dict(fft_impl="matmul", fft_precision="high"),
+        "rowsfirst": dict(pair_impl="rowsfirst"),
+    }.items():
+        cfg = vortex.VortexConfig(nx=128, ny=128, solver="ps23", dt=5e-3,
+                                  **kw)
+        step = vortex.make_spectral_step_half_packed(cfg, jnp.float32)
+        if w0 is None:
+            w0 = vortex.initial_vorticity(cfg, jnp.float32)
+        run = jax.jit(lambda w, s=step: s(s(vortex.half_init_packed(w))))
+        outs[name] = np.asarray(run(w0))
+    scale = np.abs(outs["base"]).max()
+    for name in ("mm_high", "rowsfirst"):
+        d = np.abs(outs[name] - outs["base"]).max() / scale
+        assert d < 1e-4, (name, d)
+
+
+def test_cavity_new_poisson_variants(tpu):
+    """fst_half_mxu (both precisions) and the Pallas cavity RHS step to
+    the fst baseline's state on TPU."""
+    from cfd_julia_tpu.models import cavity
+
+    w0 = jnp.zeros((129, 129), jnp.float32)
+    state = (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32))
+    outs = {}
+    for name, kw in {
+        "base": dict(poisson="fst"),
+        "half_mxu_hi": dict(poisson="fst_half_mxu"),
+        "half_mxu_fast": dict(poisson="fst_half_mxu", fft_precision="high"),
+        "pallas_rhs": dict(poisson="fst", rhs_impl="pallas"),
+    }.items():
+        cfg = cavity.CavityConfig(nx=128, ny=128, **kw)
+        step = jax.jit(cavity.make_step_fn(cfg))
+        st = state
+        for _ in range(3):
+            st = step(st)
+        outs[name] = np.asarray(st[1])
+    scale = max(np.abs(outs["base"]).max(), 1e-30)
+    for name in ("half_mxu_hi", "half_mxu_fast", "pallas_rhs"):
+        d = np.abs(outs[name] - outs["base"]).max() / scale
+        assert d < 1e-3, (name, d)
