@@ -30,7 +30,7 @@ from cfd_julia_tpu.poisson import direct, iterative, multigrid
 class PoissonConfig:
     nx: int = 128
     ny: int = 128
-    solver: str = "fft"      # fft | fft_spectral | fst | jacobi | redblack | cg | multigrid
+    solver: str = "fft"      # fft | fft_spectral | fst | jacobi | redblack | cg | multigrid | mgcg
     problem: str = "sine32"  # sine32 | poly | sine16
     tol: float = 1e-9
     max_iter: int = 100_000
@@ -122,6 +122,14 @@ def solve(cfg: PoissonConfig, dtype=None) -> PoissonResult:
     elif cfg.solver == "multigrid":
         u0 = _dirichlet_init(ue)
         it_res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=cfg.mg)
+        u = it_res.u
+    elif cfg.solver == "mgcg":
+        # beyond the reference: V-cycle-preconditioned flexible CG
+        u0 = _dirichlet_init(ue)
+        it_res = iterative.mgcg_solve(
+            f, u0, cfg.dx, cfg.dy, tol=cfg.tol,
+            max_iter=min(cfg.max_iter, 200), mg_cfg=cfg.mg,
+        )
         u = it_res.u
     else:
         raise ValueError(f"unknown solver {cfg.solver!r}")

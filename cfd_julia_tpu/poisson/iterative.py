@@ -193,3 +193,66 @@ def cg_solve(
     u, r, p, it, rms, hist, nrec = lax.while_loop(cond, body, init)
     return IterativeResult(u=u, iterations=it, rms=rms, rms0=rms0,
                            history=hist, n_records=nrec)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "dx", "dy", "mg_cfg"))
+def mgcg_solve(
+    f,
+    u0,
+    dx: float,
+    dy: float,
+    tol: float = 1e-9,
+    max_iter: int = 200,
+    mg_cfg=None,
+) -> IterativeResult:
+    """Multigrid-preconditioned flexible CG — a solver the reference does
+    not have: one V-cycle (from zero) as the preconditioner M^-1 inside
+    CG, with the Polak-Ribiere beta = <z, r - r_prev> / <z_prev, r_prev>
+    (flexible CG: the red-black V-cycle is a fixed linear but
+    non-symmetric operator, so standard PCG's beta can stall).
+    Converges in O(10) iterations independent of grid size where plain
+    CG needs O(n).  History is recorded EVERY iteration."""
+    from cfd_julia_tpu.poisson import multigrid
+
+    mg_cfg = mg_cfg or multigrid.MGConfig()
+    eps = 1e-300 if f.dtype == jnp.float64 else 1e-30
+    nx, ny = f.shape[0] - 1, f.shape[1] - 1
+    mask = interior_mask(nx, ny, f.dtype)
+    levels = multigrid._build_levels(nx, ny, dx, dy, mg_cfg.n_levels)
+    masks = [color_masks(l[0], l[1], f.dtype) for l in levels]
+    imasks = [interior_mask(l[0], l[1], f.dtype) for l in levels]
+
+    def precond(r):
+        return multigrid.v_cycle(jnp.zeros_like(r), r, levels, masks,
+                                 imasks, mg_cfg) * mask
+
+    r0 = residual_full(f, u0, dx, dy, mask)
+    rms0 = _rms_from_full(r0, nx, ny)
+    z0 = precond(r0)
+    hist0 = jnp.full((max_iter + 1, 3), jnp.nan, f.dtype)
+
+    def cond(c):
+        u, r, z, p, it, rms, hist, nrec = c
+        return (it < max_iter) & (rms / rms0 > tol)
+
+    def body(c):
+        u, r, z, p, it, rms, hist, nrec = c
+        it = it + 1
+        ap = _lap_roll(p, dx, dy) * mask
+        rz = jnp.sum(r * z)
+        alpha = rz / (jnp.sum(ap * p) + eps)
+        u = u + alpha * p
+        r_new = r - alpha * ap
+        z_new = precond(r_new)
+        # Polak-Ribiere (flexible) beta
+        beta = jnp.sum(z_new * (r_new - r)) / (rz + eps)
+        p = z_new + beta * p
+        rms = _rms_from_full(r_new, nx, ny)
+        rec = jnp.stack([it.astype(f.dtype), rms, rms / rms0])
+        hist = lax.dynamic_update_slice(hist, rec[None], (nrec, 0))
+        return (u, r_new, z_new, p, it, rms, hist, nrec + 1)
+
+    init = (u0, r0, z0, z0, jnp.array(0), rms0, hist0, jnp.array(0))
+    u, r, z, p, it, rms, hist, nrec = lax.while_loop(cond, body, init)
+    return IterativeResult(u=u, iterations=it, rms=rms, rms0=rms0,
+                           history=hist, n_records=nrec)

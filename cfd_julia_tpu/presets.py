@@ -108,6 +108,11 @@ PRESETS = {
                                                          tol=1e-9,
                                                          max_cycles=1000)),
            "17_Poisson_Solver_Multigrid/mg.jl", "2-level V-cycle"),
+        _p("poisson_mgcg", "poisson",
+           poisson2d.PoissonConfig(nx=512, ny=512, solver="mgcg",
+                                   problem="poly", tol=1e-9),
+           "16_.../conjugate_gradient.jl + 17_.../mg_N.jl",
+           "V-cycle-preconditioned flexible CG (beyond the reference)"),
         _p("poisson_mgN", "poisson",
            poisson2d.PoissonConfig(nx=512, ny=512, solver="multigrid",
                                    problem="poly",

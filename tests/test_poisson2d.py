@@ -179,3 +179,26 @@ def test_mg_fused_edges_match_xla_vcycle():
     np.testing.assert_allclose(np.asarray(results["on"].u),
                                np.asarray(results["off"].u),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_mgcg_converges_grid_independent():
+    """V-cycle-preconditioned flexible CG (beyond the reference): O(10)
+    iterations at both 64^2 and 128^2 (grid-independent), vs plain CG's
+    O(n) iteration counts, to the same tolerance and solution."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import poisson2d
+
+    its = {}
+    for nx in (64, 128):
+        cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="mgcg",
+                                      problem="poly", tol=1e-9)
+        res = poisson2d.solve(cfg, jnp.float64)
+        assert float(res.rms / res.rms0) <= 1e-9
+        assert float(res.l2_error) < 1e-4       # discretization-level
+        its[nx] = int(res.iterations)
+        cg = poisson2d.solve(
+            poisson2d.PoissonConfig(nx=nx, ny=nx, solver="cg",
+                                    problem="poly", tol=1e-9), jnp.float64)
+        assert int(cg.iterations) > 3 * its[nx]
+    assert its[128] <= its[64] + 4              # grid independence
+    assert its[128] <= 25
