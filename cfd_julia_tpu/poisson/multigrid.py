@@ -204,6 +204,12 @@ class MGConfig:
                                # prolong+correct+smooth ascend) on levels
                                # >= _FUSED_MIN — every XLA transfer
                                # formulation is relayout-bound on TPU
+    fmg: bool = False          # full-multigrid (nested-iteration) start:
+                               # solve the homogenized problem coarsest-
+                               # first, one V-cycle per level on the way
+                               # up — the first fine V-cycle then starts
+                               # at ~discretization accuracy (beyond the
+                               # reference, which always starts from 0)
 
 
 _TRANSFERS = {
@@ -306,10 +312,42 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     return us[0]
 
 
+def fmg_start(f, u0, levels, masks, imasks, cfg: MGConfig):
+    """Nested-iteration start: homogenize (v = u - u0 has zero boundary,
+    A v = f - A u0 =: g), restrict g down the pyramid, then from the
+    coarsest level up: prolong the current solution and run one V-cycle
+    of the sub-pyramid.  Returns u0 + v at ~discretization accuracy for
+    one-V-cycle-per-level cost."""
+    n = len(levels)
+    nx0, ny0, dx0, dy0 = levels[0]
+    g = residual_full(f, u0, dx0, dy0, imasks[0])
+    restrict_fn, _ = _pick_transfers(cfg.transfers)
+    gs = [g]
+    for k in range(1, n):
+        nxp, nyp, _, _ = levels[k - 1]
+        if _use_fused(cfg, nxp, nyp, 2):
+            from cfd_julia_tpu.ops import pallas_kernels
+
+            gs.append(pallas_kernels.residual_restrict_fused(
+                jnp.zeros_like(gs[k - 1]), gs[k - 1], 1.0, 1.0))
+        else:
+            gs.append(restrict_fn(gs[k - 1] * imasks[k - 1]))
+
+    nxc, nyc, dxc, dyc = levels[n - 1]
+    v = jnp.zeros((nxc + 1, nyc + 1), f.dtype)
+    v = smooth(v, gs[n - 1], dxc, dyc, cfg.v2, masks[n - 1],
+               _pick_smoother(nxc, nyc))
+    for k in range(n - 2, -1, -1):
+        v = prolongation(v) * imasks[k]
+        v = v_cycle(v, gs[k], levels[k:], masks[k:], imasks[k:], cfg)
+    return u0 + v
+
+
 @partial(jax.jit, static_argnames=("dx", "dy", "cfg"))
 def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeResult:
     """V-cycle iteration until rms/rms0 <= tol (mg_N.jl:53-106), residual
-    history recorded once per cycle on-device."""
+    history recorded once per cycle on-device.  cfg.fmg starts from a
+    full-multigrid (nested iteration) initial guess instead of u0."""
     nx, ny = f.shape[0] - 1, f.shape[1] - 1
     levels = _build_levels(nx, ny, dx, dy, cfg.n_levels)
     masks = [color_masks(l[0], l[1], f.dtype) for l in levels]
@@ -317,6 +355,8 @@ def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeR
 
     mask0 = imasks[0]
     rms0 = _rms_from_full(residual_full(f, u0, dx, dy, mask0), nx, ny)
+    if cfg.fmg:
+        u0 = fmg_start(f, u0, levels, masks, imasks, cfg)
     hist0 = jnp.full((cfg.max_cycles + 1, 3), jnp.nan, f.dtype)
 
     def cond(c):

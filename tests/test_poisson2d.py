@@ -202,3 +202,24 @@ def test_mgcg_converges_grid_independent():
         assert int(cg.iterations) > 3 * its[nx]
     assert its[128] <= its[64] + 4              # grid independence
     assert its[128] <= 25
+
+
+def test_fmg_start_cuts_vcycles():
+    """Full-multigrid (nested iteration) start: reaches the same tolerance
+    in fewer V-cycles than the zero start, and the first residual after
+    the FMG start is already far below the plain rms0."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    its = {}
+    for fmg in (False, True):
+        mgc = multigrid.MGConfig(tol=1e-10, max_cycles=60, fmg=fmg)
+        cfg = poisson2d.PoissonConfig(nx=256, ny=256, solver="multigrid",
+                                      problem="poly", mg=mgc)
+        _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float64)
+        u0 = poisson2d._dirichlet_init(ue)
+        res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
+        assert float(res.rms / res.rms0) <= 1e-10
+        its[fmg] = int(res.iterations)
+    assert its[True] < its[False], its
