@@ -27,7 +27,7 @@ timeout 1800 python benchmarks/tpu_microbench.py --sizes small 2>&1 \
     | tee "$OUT/microbench_small_$STAMP.log"
 
 echo "== 3. TPU smoke tier =="
-CFD_TPU_SMOKE=1 timeout 1800 python -m pytest tests/test_tpu_smoke.py -q 2>&1 \
+CFD_TPU_SMOKE=1 timeout 3600 python -m pytest tests/test_tpu_smoke.py -q 2>&1 \
     | tee "$OUT/tpu_smoke_$STAMP.log"
 
 echo "== 4. candidate microbench (north-star sizes) =="
