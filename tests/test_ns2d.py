@@ -239,3 +239,24 @@ def test_pair_impl_rowsfirst_matches_pack(solver, fft_impl):
         outs[pair_impl] = np.asarray(hf)
     np.testing.assert_allclose(outs["rowsfirst"], outs["pack"],
                                rtol=1e-11, atol=1e-11)
+
+
+def test_arakawa_discrete_invariants():
+    """The defining property of the Arakawa Jacobian (the reason the
+    reference uses it, never tested there): on a periodic grid the
+    discrete J(w, s) conserves mean vorticity, energy, and enstrophy
+    exactly: sum J = sum s*J = sum w*J = 0 to roundoff."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cfd_julia_tpu.ops import arakawa
+
+    rng = np.random.default_rng(12)
+    n = 64
+    dx = dy = 2 * np.pi / n
+    w = jnp.asarray(rng.standard_normal((n, n)))
+    s = jnp.asarray(rng.standard_normal((n, n)))
+    j = arakawa.jacobian(w, s, dx, dy)
+    scale = float(jnp.abs(j).max()) * n * n
+    assert abs(float(jnp.sum(j))) < 1e-12 * scale
+    assert abs(float(jnp.sum(w * j))) < 1e-12 * scale
+    assert abs(float(jnp.sum(s * j))) < 1e-12 * scale
