@@ -38,27 +38,38 @@ def _run(step, state, steps):
     return jax.jit(lambda s: loop.run_steps(step, s, steps))(state)
 
 
-def cavity_case(nx: int, steps: int, poisson: str, prec: str):
+def cavity_cases(nx: int, steps: int, variants):
+    """One base (fst/highest) run, compared against each variant — the
+    base is minutes of tunnel time at 1024^2, so it runs ONCE."""
     from cfd_julia_tpu.models import cavity
 
-    psis = {}
-    for tag, (p, pr) in {"base": ("fst", "highest"),
-                         "variant": (poisson, prec)}.items():
-        cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5, poisson=p,
-                                  fft_precision=pr)
+    def run_one(poisson, prec):
+        cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5, poisson=poisson,
+                                  fft_precision=prec)
         w0 = jnp.zeros((nx + 1, nx + 1), jnp.float32)
         s = _run(cavity.make_step_fn(cfg),
                  (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32)),
                  steps)
-        psis[tag] = np.asarray(s[1], np.float64)
-    scale = np.abs(psis["base"]).max()
-    d = np.abs(psis["variant"] - psis["base"])
-    return {"case": f"cavity_{nx}_{poisson}:{prec}",
-            "steps": steps,
-            "rel_linf_psi": float(d.max() / scale),
-            "rel_l2_psi": float(np.sqrt((d ** 2).mean()) / scale),
-            "psi_min_base": float(psis["base"].min()),
-            "psi_min_variant": float(psis["variant"].min())}
+        return np.asarray(s[1], np.float64)
+
+    base = run_one("fst", "highest")
+    scale = np.abs(base).max()
+    out = []
+    for poisson, prec in variants:
+        try:
+            psi = run_one(poisson, prec)
+            d = np.abs(psi - base)
+            out.append({"case": f"cavity_{nx}_{poisson}:{prec}",
+                        "steps": steps,
+                        "rel_linf_psi": float(d.max() / scale),
+                        "rel_l2_psi": float(np.sqrt((d ** 2).mean())
+                                            / scale),
+                        "psi_min_base": float(base.min()),
+                        "psi_min_variant": float(psi.min())})
+        except Exception as e:
+            out.append({"case": f"cavity_{nx}_{poisson}:{prec}",
+                        "error": repr(e)[:300]})
+    return out
 
 
 def ps23_case(nx: int, steps: int, fft_impl: str, prec: str):
@@ -116,20 +127,25 @@ def main():
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     if args.quick:
-        jobs = [lambda: cavity_case(128, 200, "fst_half_mxu", "high"),
+        jobs = [lambda: cavity_cases(128, 200, [("fst_half_mxu", "high")]),
                 lambda: ps23_case(256, 50, "matmul", "high"),
                 lambda: mg_case(256)]
     else:
-        jobs = [lambda: cavity_case(1024, 500, "fst_half_mxu", "high"),
-                lambda: cavity_case(1024, 500, "matmul_bf16x3", "high"),
+        jobs = [lambda: cavity_cases(1024, 500,
+                                     [("fst_half_mxu", "high"),
+                                      ("matmul_bf16x3", "highest")]),
                 lambda: ps23_case(2048, 60, "matmul", "high"),
                 lambda: mg_case(2048)]
     for job in jobs:
         try:
             t0 = time.perf_counter()
-            r = job()
-            r["wall_s"] = round(time.perf_counter() - t0, 2)
-            print(json.dumps(r), flush=True)
+            rs = job()
+            if isinstance(rs, dict):
+                rs = [rs]
+            wall = round(time.perf_counter() - t0, 2)
+            for r in rs:
+                r["wall_s"] = wall
+                print(json.dumps(r), flush=True)
         except Exception as e:
             print(json.dumps({"error": repr(e)[:300]}), flush=True)
 

@@ -178,10 +178,23 @@ def make_padded_step_fn(cfg: CavityConfig, padded_shape):
     return step
 
 
-def make_step_fn(cfg: CavityConfig, mesh=None):
-    dx, dy, dt, re = cfg.dx, cfg.dy, cfg.dt, cfg.re
+def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
+    """Cavity step.  `re` overrides cfg.re and may be a JAX tracer — the
+    step is then differentiable w.r.t. the Reynolds number
+    (tests/test_autodiff.py, examples/adjoint_cavity.py); the Pallas RHS
+    bakes re into the kernel, so it requires the static cfg value."""
+    dx, dy, dt = cfg.dx, cfg.dy, cfg.dt
+    re = cfg.re if re is None else re
 
-    if cfg.rhs_impl == "pallas" and mesh is None:
+    if cfg.rhs_impl == "pallas":
+        if mesh is not None:
+            raise ValueError(
+                "rhs_impl='pallas' is single-device only (the mesh-aware "
+                "step shards the XLA RHS)")
+        if re is not cfg.re:
+            raise ValueError(
+                "rhs_impl='pallas' requires the static cfg.re (the fused "
+                "kernel bakes it in); use rhs_impl='xla' for traced re")
         from cfd_julia_tpu.ops import pallas_kernels
 
         def rhs_interior(w, s):

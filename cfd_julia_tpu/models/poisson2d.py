@@ -128,7 +128,7 @@ def solve(cfg: PoissonConfig, dtype=None) -> PoissonResult:
         u0 = _dirichlet_init(ue)
         it_res = iterative.mgcg_solve(
             f, u0, cfg.dx, cfg.dy, tol=cfg.tol,
-            max_iter=min(cfg.max_iter, 200), mg_cfg=cfg.mg,
+            max_iter=cfg.max_iter, mg_cfg=cfg.mg,
         )
         u = it_res.u
     else:

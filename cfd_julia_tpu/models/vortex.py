@@ -339,26 +339,21 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
     _, _, k2h, _ = _half_wavenumbers(cfg, dtype)
     cn = _cn_consts(cfg, k2h, dtype)
 
+    # one home for every (fft_impl, fft_precision)-derived transform
     if cfg.fft_impl == "matmul":
         import functools
 
         from cfd_julia_tpu.ops import mxu_fft
 
-        ifft2_fn = functools.partial(mxu_fft.ifft2_matmul,
-                                     precision=cfg.fft_precision)
-        rfft2_fn = functools.partial(mxu_fft.rfft2_matmul,
-                                     precision=cfg.fft_precision)
+        prec = cfg.fft_precision
+        ifft2_fn = functools.partial(mxu_fft.ifft2_matmul, precision=prec)
+        rfft2_fn = functools.partial(mxu_fft.rfft2_matmul, precision=prec)
+        ifft_rows_fn = functools.partial(mxu_fft.ifft_matmul, axis=-2,
+                                         precision=prec)
+        ifft_cols_fn = functools.partial(mxu_fft.ifft_matmul, axis=-1,
+                                         precision=prec)
     else:
         ifft2_fn, rfft2_fn = jnp.fft.ifft2, jnp.fft.rfft2
-
-    if cfg.fft_impl == "matmul":
-        from cfd_julia_tpu.ops import mxu_fft as _mxu
-
-        ifft_rows_fn = lambda x: _mxu.ifft_matmul(
-            x, axis=-2, precision=cfg.fft_precision)
-        ifft_cols_fn = lambda x: _mxu.ifft_matmul(
-            x, axis=-1, precision=cfg.fft_precision)
-    else:
         ifft_rows_fn = ifft_cols_fn = None
 
     def pairs_inverse(heads, tails):
@@ -396,17 +391,12 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
             nyq_over_scale = nyq / scale   # fold the Nyquist zeroing
                                            # (see jacobian_ps32) + rescale
             if cfg.fft_impl == "matmul":
-                import functools
-
                 from cfd_julia_tpu.ops import mxu_fft
 
+                # the 3/2-padded lengths must also be matmul-supported
                 ok = mxu_fft.supported(nxe) and mxu_fft.supported(nye)
-                ifft_e = (functools.partial(mxu_fft.ifft2_matmul,
-                                            precision=cfg.fft_precision)
-                          if ok else jnp.fft.ifft2)
-                rfft_e = (functools.partial(mxu_fft.rfft2_matmul,
-                                            precision=cfg.fft_precision)
-                          if ok else jnp.fft.rfft2)
+                ifft_e = ifft2_fn if ok else jnp.fft.ifft2
+                rfft_e = rfft2_fn if ok else jnp.fft.rfft2
             else:
                 ifft_e, rfft_e = ifft2_fn, rfft2_fn
 

@@ -48,8 +48,9 @@ import jax.numpy as jnp
 
 def _split(n: int) -> tuple[int, int]:
     """(n1, n2) with n = n1*n2: n1 the largest divisor <= 128 (falling
-    back to the smallest divisor > 128 for n with no factor in range);
-    any composite n works — the DFT factors are dense matrices."""
+    back to the most balanced factor pair for n with no divisor in
+    range); any composite n works — the DFT factors are dense
+    matrices."""
     if n <= 128:
         return n, 1            # single dense matmul, no small stage
     best = None
@@ -157,7 +158,9 @@ def ifft2_matmul(x, precision: str = "highest"):
 def _apply_last_real(x, n: int, precision: str):
     """Forward transform of a REAL last axis as two real-valued matmul
     stages (Re/Im handled separately — half the flops of promoting the
-    input to complex), keeping only the non-redundant half spectrum."""
+    input to complex), keeping only the non-redundant half spectrum.
+    The big stage contracts with only the k1 <= n1//2 rows of F1 that
+    feed the kept half (k = k2 + n2*k1 <= n//2) — half its flops."""
     n1, n2 = _split(n)
     g = _block_factor(n1, n2)
     rdtype = x.dtype
@@ -172,9 +175,10 @@ def _apply_last_real(x, n: int, precision: str):
     cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
     z = (yr.reshape(lead + (n1, n2)) + 1j * yi.reshape(lead + (n1, n2))
          ).astype(cdtype) * jnp.asarray(tw, cdtype)
-    out = jnp.einsum("ka,...ac->...kc", jnp.asarray(f1, z.dtype), z,
-                     precision=precision)
-    return out.reshape(lead + (n,))[..., : n // 2 + 1]
+    n1h = n1 // 2 + 1
+    f1h = jnp.asarray(f1[:n1h], z.dtype)
+    out = jnp.einsum("ka,...ac->...kc", f1h, z, precision=precision)
+    return out.reshape(lead + (n1h * n2,))[..., : n // 2 + 1]
 
 
 def rfft_matmul(x, axis: int = -1, precision: str = "highest"):

@@ -280,8 +280,10 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
         if _use_fused(cfg, nxk, nyk, 2 * cfg.v1 + 2):
             uk, fk = pallas_kernels.smooth_residual_restrict_fused(
                 us[k], fs[k], dxk, dyk, cfg.v1)
-        elif _use_fused(cfg, nxk, nyk, 2 * cfg.v1):
+        elif _use_fused(cfg, nxk, nyk, 2):
             # v1 too large for the combined halo: separate fused pieces
+            # (the standalone residual+restrict kernel needs only a 2-row
+            # halo; the smoother schedules multi-call internally)
             uk = smooth(us[k], fs[k], dxk, dyk, cfg.v1, masks[k], impls[k])
             fk = pallas_kernels.residual_restrict_fused(
                 uk, fs[k], dxk, dyk)

@@ -20,33 +20,17 @@ from cfd_julia_tpu.jaxconfig import configure_jax
 configure_jax()
 
 from cfd_julia_tpu.models import cavity          # noqa: E402
-from cfd_julia_tpu.ops import arakawa            # noqa: E402
-from cfd_julia_tpu.poisson import direct         # noqa: E402
 from cfd_julia_tpu.stepping import loop          # noqa: E402
 
 NX, STEPS, DT = 32, 100, 1e-3
 cfg = cavity.CavityConfig(nx=NX, ny=NX, dt=DT)
-dx, dy = cfg.dx, cfg.dy
 
 
 def loss(re):
     """Mean-square streamfunction after STEPS steps, as a function of a
-    *traced* Reynolds number."""
-    def step(state):
-        w, s, _ = state
-        def close(wt_i, s_prev):
-            wt = cavity.assemble_with_wall_bc(wt_i, s_prev, dx, dy, 2)
-            return wt, direct.solve_fst(-wt, dx, dy)
-        r = arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
-        wt, s1 = close(w[1:-1, 1:-1] + DT * r, s)
-        r = arakawa.vorticity_rhs(wt, s1, dx, dy, re)[1:-1, 1:-1]
-        wt, s2 = close(0.75 * w[1:-1, 1:-1] + 0.25 * wt[1:-1, 1:-1]
-                       + 0.25 * DT * r, s1)
-        r = arakawa.vorticity_rhs(wt, s2, dx, dy, re)[1:-1, 1:-1]
-        wn, s3 = close((w[1:-1, 1:-1] + 2.0 * wt[1:-1, 1:-1]
-                        + 2.0 * DT * r) / 3.0, s2)
-        return (wn, s3, jnp.zeros((), w.dtype))
-
+    *traced* Reynolds number — make_step_fn accepts re as a tracer, so
+    this is the production step, not a re-implementation."""
+    step = cavity.make_step_fn(cfg, re=re)
     w0 = jnp.zeros((NX + 1, NX + 1), jnp.float32)
     final = loop.run_steps(step, (w0, jnp.zeros_like(w0),
                                   jnp.zeros((), jnp.float32)), STEPS)

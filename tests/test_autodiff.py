@@ -12,38 +12,13 @@ import pytest
 
 def _cavity_loss(re, nx=24, steps=40):
     """Mean-square streamfunction after `steps` — a smooth functional of
-    the Reynolds number through the whole cavity solver."""
+    the Reynolds number through the REAL cavity step (make_step_fn
+    accepts a traced re)."""
     from cfd_julia_tpu.models import cavity
     from cfd_julia_tpu.stepping import loop
 
     cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=1e-3)
-    dx, dy, dt = cfg.dx, cfg.dy, cfg.dt
-
-    def rhs_interior(w, s):
-        from cfd_julia_tpu.ops import arakawa
-
-        return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
-
-    def stage_close(wt_interior, s_prev):
-        wt = cavity.assemble_with_wall_bc(wt_interior, s_prev, dx, dy, 2)
-        from cfd_julia_tpu.poisson import direct
-
-        return wt, direct.solve_fst(-wt, dx, dy)
-
-    def step(state):
-        w, s, _ = state
-        r = rhs_interior(w, s)
-        wt, s1 = stage_close(w[1:-1, 1:-1] + dt * r, s)
-        r = rhs_interior(wt, s1)
-        wt, s2 = stage_close(
-            0.75 * w[1:-1, 1:-1] + 0.25 * wt[1:-1, 1:-1] + 0.25 * dt * r,
-            s1)
-        r = rhs_interior(wt, s2)
-        wn, s3 = stage_close(
-            (w[1:-1, 1:-1] + 2.0 * wt[1:-1, 1:-1] + 2.0 * dt * r) / 3.0,
-            s2)
-        return (wn, s3, jnp.zeros((), w.dtype))
-
+    step = cavity.make_step_fn(cfg, re=re)
     w0 = jnp.zeros((nx + 1, nx + 1), jnp.float64)
     state = (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float64))
     final = loop.run_steps(step, state, steps)
