@@ -89,6 +89,24 @@ def cmd_run(args, extra):
                                **{**overrides, **pt})
             m.update(pt)
             all_metrics.append(m)
+            # reference-style per-grid aliases in the TOP outdir
+            # (weno_dirichlet.jl:158 writes solution_d_$nx.txt,
+            # fft_p.jl:110 output_$nx.txt — the reference's order.jl
+            # readers expect the suffix names side by side)
+            import os
+            import shutil
+
+            vals = [str(v) for v in pt.values()]
+            # reference files carry a single grid suffix (output_$nx.txt)
+            suffix = vals[0] if len(set(vals)) == 1 else "_".join(vals)
+            for fn in sorted(os.listdir(sub)):
+                base, ext = os.path.splitext(fn)
+                if ext in (".txt", ".csv") and base.startswith(
+                        ("solution", "output", "field_final")):
+                    if not base.endswith("_" + suffix):  # some writers
+                        base = f"{base}_{suffix}"  # already embed the size
+                    shutil.copyfile(os.path.join(sub, fn),
+                                    os.path.join(args.outdir, base + ext))
         with open(f"{args.outdir}/sweep_metrics.json", "w") as f:
             json.dump(all_metrics, f, indent=2)
         print(json.dumps(all_metrics, indent=2))
