@@ -1,16 +1,24 @@
 #!/usr/bin/env bash
-# Poll the axon tunnel; the moment it answers, run the full measurement
-# battery once and exit.  Probe is a bounded subprocess (a down tunnel
-# HANGS backend init rather than erroring).
+# Poll the axon tunnel; when it answers, run the measurement battery.
+# If the battery ends without a successful full-bench number (tunnel
+# flap mid-run), resume watching and retry — up to 3 batteries total.
 cd "$(dirname "$0")/.."
 echo "watch started $(date -u +%H:%M:%S)"
-while true; do
+runs=0
+while [ "$runs" -lt 3 ]; do
     if timeout 90 python -c "import jax; print(jax.devices()[0])" >/dev/null 2>&1; then
-        echo "tunnel UP at $(date -u +%H:%M:%S); running battery"
+        echo "tunnel UP at $(date -u +%H:%M:%S); running battery $((runs+1))"
         bash benchmarks/run_when_tunnel_up.sh
-        echo "battery done $(date -u +%H:%M:%S)"
-        exit 0
+        runs=$((runs+1))
+        latest=$(ls -t benchmarks/results/bench_full_*.log 2>/dev/null | head -1)
+        if [ -n "$latest" ] && grep -q '"metric".*"value": [1-9]' "$latest"; then
+            echo "battery complete with measured headline ($latest); done $(date -u +%H:%M:%S)"
+            exit 0
+        fi
+        echo "battery $runs ended without a measured headline; resuming watch"
+    else
+        echo "tunnel down $(date -u +%H:%M:%S)"
     fi
-    echo "tunnel down $(date -u +%H:%M:%S)"
     sleep 120
 done
+echo "gave up after $runs batteries $(date -u +%H:%M:%S)"
