@@ -29,10 +29,21 @@ from cfd_julia_tpu.jaxconfig import configure_jax  # noqa: E402
 configure_jax(cache_dir="~/.cache/jax_bench_cache", min_compile_secs=1.0)
 
 
-def timed(name, fn, x, iters=20, repeats=3):
-    """Time `iters` applications of fn under one scan; min over repeats."""
-    run = jax.jit(lambda x0: lax.scan(
-        lambda c, _: (fn(c), 0.0), x0, None, length=iters)[0])
+def timed(name, fn, x, iters=20, repeats=3, consts=None):
+    """Time `iters` applications of fn under one scan; min over repeats.
+
+    Big non-carried arrays MUST go through `consts` (fn then takes
+    (carry, consts)): closed-over arrays are embedded as constants in
+    the compiled program, and at 4096^2 the serialized compile request
+    blows past the remote tunnel's body limit (HTTP 413 — observed for
+    the V-cycle family whose closures held ~270 MB of masks)."""
+    if consts is None:
+        run = jax.jit(lambda x0: lax.scan(
+            lambda c, _: (fn(c), 0.0), x0, None, length=iters)[0])
+    else:
+        base = jax.jit(lambda x0, cs: lax.scan(
+            lambda c, _: (fn(c, cs), 0.0), x0, None, length=iters)[0])
+        run = lambda x0: base(x0, consts)
     out = run(x)                     # compile + warm
     jax.tree.map(lambda a: a.block_until_ready(), out)
     best = float("inf")
@@ -88,34 +99,39 @@ def bench_mg_edges(n):
     imask = iterative.interior_mask(n, n, jnp.float32)
     masks = iterative.color_masks(n, n, jnp.float32)
 
+    # big non-carried arrays travel via `consts` (closed-over arrays
+    # embed as constants -> oversized remote compile requests)
+    cs = dict(f=f, uc=uc, masks=masks, imask=imask)
     # descend edge: residual + restrict (prolong back for shape-stability;
     # rescale by ~1/|lap| so 10 chained applications stay finite)
     sc = dx * dx / 8.0
     timed(f"edge_resrestrict_xla_{n}",
-          lambda x: sc * multigrid.prolongation(multigrid.restriction(
-              iterative.residual_full(f, x, dx, dx, imask))), u, iters=10)
+          lambda x, c: sc * multigrid.prolongation(multigrid.restriction(
+              iterative.residual_full(c["f"], x, dx, dx, c["imask"]))),
+          u, iters=10, consts=cs)
     timed(f"edge_resrestrict_fused_{n}",
-          lambda x: sc * multigrid.prolongation_matmul(
-              pallas_kernels.residual_restrict_fused(x, f, dx, dx)),
-          u, iters=10)
+          lambda x, c: sc * multigrid.prolongation_matmul(
+              pallas_kernels.residual_restrict_fused(x, c["f"], dx, dx)),
+          u, iters=10, consts=cs)
     # full descend edge: v1=2 pre-smooth + residual + restrict
     timed(f"edge_smoothresrestrict_xla_{n}",
-          lambda x: sc * multigrid.prolongation(multigrid.restriction(
+          lambda x, c: sc * multigrid.prolongation(multigrid.restriction(
               iterative.residual_full(
-                  f, multigrid.smooth(x, f, dx, dx, 2, masks, impl="xla"),
-                  dx, dx, imask))), u, iters=10)
+                  c["f"], multigrid.smooth(x, c["f"], dx, dx, 2,
+                                           c["masks"], impl="xla"),
+                  dx, dx, c["imask"]))), u, iters=10, consts=cs)
     timed(f"edge_smoothresrestrict_fused_{n}",
-          lambda x: sc * multigrid.prolongation_matmul(
+          lambda x, c: sc * multigrid.prolongation_matmul(
               pallas_kernels.smooth_residual_restrict_fused(
-                  x, f, dx, dx, 2)[1]), u, iters=10)
+                  x, c["f"], dx, dx, 2)[1]), u, iters=10, consts=cs)
     # ascend edge: prolong + correct + v3=2 post-smooth
     timed(f"edge_prolsmooth_xla_{n}",
-          lambda x: multigrid.smooth(
-              x + multigrid.prolongation(uc) * imask, f, dx, dx, 2,
-              masks, impl="xla"), u, iters=10)
+          lambda x, c: multigrid.smooth(
+              x + multigrid.prolongation(c["uc"]) * c["imask"], c["f"],
+              dx, dx, 2, c["masks"], impl="xla"), u, iters=10, consts=cs)
     timed(f"edge_prolsmooth_fused_{n}",
-          lambda x: pallas_kernels.prolong_correct_smooth_fused(
-              x, f, uc, dx, dx, 2), u, iters=10)
+          lambda x, c: pallas_kernels.prolong_correct_smooth_fused(
+              x, c["f"], c["uc"], dx, dx, 2), u, iters=10, consts=cs)
 
 
 def bench_mg_vcycle(n):
@@ -142,9 +158,11 @@ def bench_mg_vcycle(n):
             tag = f"vcycle_{transfers}_{smoother}_{fused}_{n}"
             try:
                 timed(tag,
-                      lambda u: multigrid.v_cycle(u, f, levels, masks,
-                                                  imasks, mgc, impls),
-                      u0, iters=5)
+                      lambda u, c, m=mgc, im=impls: multigrid.v_cycle(
+                          u, c["f"], levels, c["masks"], c["imasks"],
+                          m, im),
+                      u0, iters=5,
+                      consts=dict(f=f, masks=masks, imasks=imasks))
             except Exception as e:
                 print(json.dumps({"bench": tag, "error": repr(e)[:200]}),
                       flush=True)

@@ -141,6 +141,20 @@ def _spectral_consts(cfg: VortexConfig, dtype):
     return k2, kx, ky
 
 
+def _spectral_consts_traced(cfg: VortexConfig, dtype, eps: float = 1e-6):
+    """_spectral_consts as traced jnp (iota + elementwise) — embedded
+    numpy literals bloat remote compile requests (_half_consts_traced)."""
+    def kvec(n, d):
+        h = 2.0 * np.pi / (n * d)
+        i = jnp.arange(n)
+        k = (h * jnp.where(i < n // 2, i, i - n)).astype(dtype)
+        return jnp.where(i == 0, jnp.asarray(eps, dtype), k)
+
+    kx = kvec(cfg.nx, cfg.dx)
+    ky = kvec(cfg.ny, cfg.dy)
+    return kx[:, None] ** 2 + ky[None, :] ** 2, kx, ky
+
+
 def jacobian_hybrid(wf, k2, dx, dy, mesh=None):
     """-J(w, psi) computed in physical space with the Arakawa scheme, psi
     from the spectrum (hybrid.jl:92-152).
@@ -259,72 +273,65 @@ def jacobian_ps23(wf, k2, kx, ky, nx, ny, mesh=None):
 # output *is* the state).  FFT work is unchanged (2.5 c2c-equivalents per
 # stage — the roofline of this formulation); everything else shrinks.
 
-def _cn_consts(cfg: VortexConfig, k2h, dtype):
-    """Per-stage CN/RK3 update coefficients with the zero-mean projection
-    folded in: a_s = (1-d)/(1+d), b_s = gamma_s dt/(1+d),
-    r_s = rho_s dt/(1+d), all zeroed at k=(0,0) so the mean mode is
-    projected out exactly as zero_mean_mode did (hybrid.jl:34-69).
+def _half_consts_traced(cfg: VortexConfig, dtype, eps: float = 1e-6):
+    """The _half_wavenumbers constants as TRACED jnp computations (iota +
+    elementwise) instead of embedded numpy literals.
 
-    NUMPY: solver constants are assembled at step-build time, often
-    outside jit — they must not touch the device (tunnel round trips;
-    the remote backend's eager complex gaps)."""
-    dt, re = cfg.dt, cfg.re
-    nx, hy = k2h.shape
-    mean = 1.0 - ((np.arange(nx)[:, None] == 0)
-                  & (np.arange(hy)[None, :] == 0)).astype(dtype)
-    out = []
-    for s in range(3):
-        d = ALPHAS[s] * 0.5 * dt * np.asarray(k2h, np.float64) / re
-        out.append(tuple(
-            np.asarray(c, dtype) for c in
-            (mean * (1.0 - d) / (1.0 + d),
-             mean * GAMMAS[s] * dt / (1.0 + d),
-             mean * RHOS[s] * dt / (1.0 + d))))
-    return out
-
-
-def _half_wavenumbers(cfg: VortexConfig, dtype, eps: float = 1e-6):
-    """kx (full axis, eps-guarded for 1/k2), ky (rfft half axis), the
-    eps-guarded k2, and the multiplicative kx0/ky0 with k=0 and Nyquist
-    zeroed (the _deriv_spectra conventions, on half-spectrum shapes).
-    Numpy build-time constants (see _cn_consts)."""
+    Why: closed-over/numpy constants are serialized into the compiled
+    program — at 2048^2 the packed jacobian + CN constants are ~140 MB,
+    and the remote tunnel's compile requests both slow down and can
+    exceed the HTTP body limit (observed 413 at ~270 MB).  Inside jit
+    the same formulas are a dozen cheap fused iota passes (and complex
+    intermediates inside jit are fine on the remote backend — only
+    boundary/eager complex is hazardous)."""
     nx, ny = cfg.nx, cfg.ny
-    kx = spectral.fft_wavenumber_index(nx, cfg.dx, dtype, eps)[:, None]
-    kyh = spectral.rfft_wavenumber_index(ny, cfg.dy, dtype)[None, :]
-    kyg = np.where(kyh == 0.0, np.asarray(eps, dtype), kyh)
+    hx = 2.0 * np.pi / (nx * cfg.dx)
+    hy = 2.0 * np.pi / (ny * cfg.dy)
+    ix = jnp.arange(nx)[:, None]
+    iy = jnp.arange(ny // 2 + 1)[None, :]
+    kx = (hx * jnp.where(ix < nx // 2, ix, ix - nx)).astype(dtype)
+    kx = jnp.where(ix == 0, jnp.asarray(eps, dtype), kx)
+    kyh = (hy * iy).astype(dtype)
+    kyg = jnp.where(kyh == 0.0, jnp.asarray(eps, dtype), kyh)
     k2h = kx**2 + kyg**2
-    ix = np.arange(nx)[:, None]
-    iy = np.arange(ny // 2 + 1)[None, :]
-    kx0 = np.where(ix == 0, np.zeros((), dtype), kx)
-    ky0 = kyh                                       # j=0 entry is already 0
+    kx0 = jnp.where(ix == 0, jnp.zeros((), dtype), kx)
+    ky0 = kyh                                   # j=0 entry is already 0
     nyq = (((nx % 2 != 0) | (ix != nx // 2))
            & ((ny % 2 != 0) | (iy != ny // 2))).astype(dtype)
     return kx0, ky0, k2h, nyq
 
 
-def _packed_jacobian_consts(cfg: VortexConfig, dtype, band_mask=None):
-    """head/tail constants for the two packed derivative pairs:
-    pair 1 recovers (psi_x, w_y), pair 2 recovers (psi_y, w_x):
-        head = (i kx/k2 - ky) resp. (i ky/k2 - kx)   [A + iB]
-        tail = (i kx/k2 + ky) resp. (i ky/k2 + kx)   [A - iB]
-    all times the Nyquist zeroing and any dealias band mask.
-    Numpy build-time constants (see _cn_consts) — in particular the
-    COMPLEX arithmetic here must never run eagerly on the device."""
-    kx0, ky0, k2h, nyq = _half_wavenumbers(cfg, dtype)
-    cdtype = precision.complex_dtype(dtype)
-    m = nyq if band_mask is None else nyq * np.asarray(band_mask, dtype)
+def _cn_consts_traced(cfg: VortexConfig, k2h, dtype):
+    """_cn_consts as traced jnp (see _half_consts_traced)."""
+    dt, re = cfg.dt, cfg.re
+    nx, hy = k2h.shape
+    mean = 1.0 - ((jnp.arange(nx)[:, None] == 0)
+                  & (jnp.arange(hy)[None, :] == 0)).astype(dtype)
+    out = []
+    for s in range(3):
+        d = ALPHAS[s] * 0.5 * dt * k2h / re
+        out.append((mean * (1.0 - d) / (1.0 + d),
+                    mean * GAMMAS[s] * dt / (1.0 + d),
+                    mean * RHOS[s] * dt / (1.0 + d)))
+    return out
+
+
+def _packed_jacobian_consts_traced(cfg: VortexConfig, dtype,
+                                   band_mask=None):
+    """_packed_jacobian_consts as traced jnp: complex intermediates are
+    INSIDE jit, which the remote backend supports (see
+    _half_consts_traced)."""
+    kx0, ky0, k2h, nyq = _half_consts_traced(cfg, dtype)
+    m = nyq if band_mask is None else nyq * band_mask.astype(dtype)
     gx, gy = kx0 / k2h, ky0 / k2h
-    consts = ((1j * gx - ky0) * m, (1j * gx + ky0) * m,
-              (1j * gy - kx0) * m, (1j * gy + kx0) * m)
-    return tuple(np.asarray(c, cdtype) for c in consts)
+    return ((1j * gx - ky0) * m, (1j * gx + ky0) * m,
+            (1j * gy - kx0) * m, (1j * gy + kx0) * m)
 
 
-def _band_mask_23_half(cfg: VortexConfig):
-    """Symmetric 2/3 band on half-spectrum indices (see jacobian_ps23).
-    Numpy build-time constant."""
+def _band_mask_23_half_traced(cfg: VortexConfig):
     nxe, nye = (2 * cfg.nx) // 3, (2 * cfg.ny) // 3
-    ix = np.arange(cfg.nx)[:, None]
-    iy = np.arange(cfg.ny // 2 + 1)[None, :]
+    ix = jnp.arange(cfg.nx)[:, None]
+    iy = jnp.arange(cfg.ny // 2 + 1)[None, :]
     keep_x = (ix < nxe // 2) | (ix > cfg.nx - nxe // 2)
     return keep_x & (iy < nye // 2)
 
@@ -334,10 +341,12 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
 
     Numerically identical to make_spectral_step (same operations on the
     Hermitian-redundant representation removed); validated against it in
-    tests/test_ns2d.py."""
+    tests/test_ns2d.py.
+
+    All solver constants are computed inside the traced step (iota +
+    elementwise) — embedded-literal constants made 2048^2 compile
+    requests ~270 MB through the remote tunnel (_half_consts_traced)."""
     nx, ny = cfg.nx, cfg.ny
-    _, _, k2h, _ = _half_wavenumbers(cfg, dtype)
-    cn = _cn_consts(cfg, k2h, dtype)
 
     # one home for every (fft_impl, fft_precision)-derived transform
     if cfg.fft_impl == "matmul":
@@ -366,62 +375,72 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
             for p in range(heads.shape[0])]))
 
     if cfg.solver == "hybrid":
-        cdtype = precision.complex_dtype(dtype)
-        head = np.asarray(1.0 + 1j / k2h, cdtype)
-        tail = np.asarray(1.0 - 1j / k2h, cdtype)
+        def jac_consts():
+            _, _, k2h, _ = _half_consts_traced(cfg, dtype)
+            return (1.0 + 1j / k2h, 1.0 - 1j / k2h)
 
-        def jac(H):
+        def jac(H, jc):
+            head, tail = jc
             z = pairs_inverse((head * H)[None], (tail * H)[None])[0]
             return rfft2_fn(
                 -arakawa.jacobian(z.real, z.imag, cfg.dx, cfg.dy))
-    elif cfg.solver in ("ps32", "ps23"):
-        band = _band_mask_23_half(cfg) if cfg.solver == "ps23" else None
-        h1, t1, h2, t2 = _packed_jacobian_consts(cfg, dtype, band)
+    elif cfg.solver == "ps23":
+        def jac_consts():
+            band = _band_mask_23_half_traced(cfg)
+            return _packed_jacobian_consts_traced(cfg, dtype, band)
 
-        if cfg.solver == "ps23":
-            def jac(H):
-                z = pairs_inverse(jnp.stack([h1 * H, h2 * H]),
-                                  jnp.stack([t1 * H, t2 * H]))
-                return rfft2_fn(z[0].real * z[0].imag
-                                - z[1].real * z[1].imag)
-        else:
-            nxe, nye = 3 * nx // 2, 3 * ny // 2
-            scale = (nxe * nye) / (nx * ny)
-            _, _, _, nyq = _half_wavenumbers(cfg, dtype)
-            nyq_over_scale = nyq / scale   # fold the Nyquist zeroing
-                                           # (see jacobian_ps32) + rescale
-            if cfg.fft_impl == "matmul":
-                from cfd_julia_tpu.ops import mxu_fft
-
-                # the 3/2-padded lengths must also be matmul-supported
-                ok = mxu_fft.supported(nxe) and mxu_fft.supported(nye)
-                ifft_e = ifft2_fn if ok else jnp.fft.ifft2
-                rfft_e = rfft2_fn if ok else jnp.fft.rfft2
-            else:
-                ifft_e, rfft_e = ifft2_fn, rfft2_fn
-
-            def jac(H):
-                pads = jnp.stack([
-                    spectral.pad_32(spectral.pack_hermitian_pair(
-                        h1 * H, t1 * H, ny), nxe, nye),
-                    spectral.pad_32(spectral.pack_hermitian_pair(
-                        h2 * H, t2 * H, ny), nxe, nye),
-                ]) * scale
-                z = ifft_e(pads)
-                jf = rfft_e(z[0].real * z[0].imag
+        def jac(H, jc):
+            h1, t1, h2, t2 = jc
+            z = pairs_inverse(jnp.stack([h1 * H, h2 * H]),
+                              jnp.stack([t1 * H, t2 * H]))
+            return rfft2_fn(z[0].real * z[0].imag
                             - z[1].real * z[1].imag)
-                return spectral.truncate_32_half(jf, nx, ny) * nyq_over_scale
+    elif cfg.solver == "ps32":
+        nxe, nye = 3 * nx // 2, 3 * ny // 2
+        scale = (nxe * nye) / (nx * ny)
+        if cfg.fft_impl == "matmul":
+            from cfd_julia_tpu.ops import mxu_fft
+
+            # the 3/2-padded lengths must also be matmul-supported
+            ok = mxu_fft.supported(nxe) and mxu_fft.supported(nye)
+            ifft_e = ifft2_fn if ok else jnp.fft.ifft2
+            rfft_e = rfft2_fn if ok else jnp.fft.rfft2
+        else:
+            ifft_e, rfft_e = ifft2_fn, rfft2_fn
+
+        def jac_consts():
+            _, _, _, nyq = _half_consts_traced(cfg, dtype)
+            # fold the Nyquist zeroing (see jacobian_ps32) + rescale
+            return (*_packed_jacobian_consts_traced(cfg, dtype),
+                    nyq / scale)
+
+        def jac(H, jc):
+            h1, t1, h2, t2, nyq_over_scale = jc
+            pads = jnp.stack([
+                spectral.pad_32(spectral.pack_hermitian_pair(
+                    h1 * H, t1 * H, ny), nxe, nye),
+                spectral.pad_32(spectral.pack_hermitian_pair(
+                    h2 * H, t2 * H, ny), nxe, nye),
+            ]) * scale
+            z = ifft_e(pads)
+            jf = rfft_e(z[0].real * z[0].imag
+                        - z[1].real * z[1].imag)
+            return spectral.truncate_32_half(jf, nx, ny) * nyq_over_scale
     else:
         raise ValueError(cfg.solver)
 
-    (a1, b1, _), (a2, b2, r2), (a3, b3, r3) = cn
-
     def step(H):
-        jn = jac(H)
+        # all constants rebuilt from iota INSIDE the trace: a dozen fused
+        # elementwise passes, vs ~270 MB of embedded literals at 2048^2
+        _, _, k2h, _ = _half_consts_traced(cfg, dtype)
+        (a1, b1, _), (a2, b2, r2), (a3, b3, r3) = _cn_consts_traced(
+            cfg, k2h, dtype)
+        jc = jac_consts()
+        jn = jac(H, jc)
         H1 = a1 * H + b1 * jn
-        j1 = jac(H1)
+        j1 = jac(H1, jc)
         H2 = a2 * H1 + r2 * jn + b2 * j1
-        j2 = jac(H2)
+        j2 = jac(H2, jc)
         return a3 * H2 + r3 * j1 + b3 * j2
 
     return step
@@ -472,31 +491,36 @@ def full_init_packed(w0):
 def make_spectral_step(cfg: VortexConfig, dtype, mesh=None):
     """3-stage low-storage RK3/CN step over the vorticity spectrum
     (hybrid.jl:34-69, identical stepper in ch. 21/22)."""
-    k2, kx, ky = _spectral_consts(cfg, dtype)
     dt, re = cfg.dt, cfg.re
     if cfg.solver == "hybrid":
-        jac = lambda wf: jacobian_hybrid(wf, k2, cfg.dx, cfg.dy, mesh)
+        jac = lambda wf, k2, kx, ky: jacobian_hybrid(
+            wf, k2, cfg.dx, cfg.dy, mesh)
     elif cfg.solver == "ps32":
-        jac = lambda wf: jacobian_ps32(wf, k2, kx, ky, cfg.nx, cfg.ny, mesh)
+        jac = lambda wf, k2, kx, ky: jacobian_ps32(
+            wf, k2, kx, ky, cfg.nx, cfg.ny, mesh)
     elif cfg.solver == "ps23":
-        jac = lambda wf: jacobian_ps23(wf, k2, kx, ky, cfg.nx, cfg.ny, mesh)
+        jac = lambda wf, k2, kx, ky: jacobian_ps23(
+            wf, k2, kx, ky, cfg.nx, cfg.ny, mesh)
     else:
         raise ValueError(cfg.solver)
 
-    ds = [a * 0.5 * dt * k2 / re for a in ALPHAS]
-
     def step(wf):
-        jn = jac(wf)
+        # constants rebuilt from iota inside the trace (embedded-literal
+        # wavenumber arrays bloat remote compile requests)
+        k2, kx, ky = _spectral_consts_traced(cfg, dtype)
+        ds = [a * 0.5 * dt * k2 / re for a in ALPHAS]
+        jac_ = lambda w: jac(w, k2, kx, ky)
+        jn = jac_(wf)
         w1 = ((1.0 - ds[0]) / (1.0 + ds[0])) * wf + (
             GAMMAS[0] * dt * jn
         ) / (1.0 + ds[0])
         w1 = spectral.zero_mean_mode(w1)
-        j1 = jac(w1)
+        j1 = jac_(w1)
         w2 = ((1.0 - ds[1]) / (1.0 + ds[1])) * w1 + (
             RHOS[1] * dt * jn + GAMMAS[1] * dt * j1
         ) / (1.0 + ds[1])
         w2 = spectral.zero_mean_mode(w2)
-        j2 = jac(w2)
+        j2 = jac_(w2)
         wn = ((1.0 - ds[2]) / (1.0 + ds[2])) * w2 + (
             RHOS[2] * dt * j1 + GAMMAS[2] * dt * j2
         ) / (1.0 + ds[2])

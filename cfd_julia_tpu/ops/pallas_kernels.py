@@ -166,9 +166,12 @@ def redblack_sweep_fused(u, f, dx: float, dy: float, tile: int = 64,
 #     one pass (each red-black half-update costs one halo row, so
 #     2*sweeps <= GUARD like redblack_sweeps_fused).
 
-_MM_PRECISION = "high"  # bf16x3 on the MXU: ~f32-accurate for banded
-                        # 0.25/0.5/1.0 weights, 2x the throughput of
-                        # "highest" (CPU interpret ignores it: exact f64)
+_MM_PRECISION = "highest"  # Mosaic supports only DEFAULT/HIGHEST dot
+                           # precisions (HIGH fails to lower: caught by
+                           # TPU cross-lowering); the banded transfer
+                           # matmuls are a small fraction of the kernels'
+                           # cost, so fp32-exact is the right choice
+                           # (CPU interpret ignores it: exact f64)
 
 
 def _band_matrix(rows_i, cols_i, offset, w0, w1, dtype):
