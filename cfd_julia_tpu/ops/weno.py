@@ -107,8 +107,13 @@ def _pad_mirror_L(u):
     # stencil centred u_{j-1}; mirror ghosts u_{-k}=u_{k-1}, u_{n-1+k}=u_{n-k}
     # (Common.jl:516-569 wenoL_roe).
     n = u.shape[-1]
-    left = u[..., 2::-1][..., :3]            # u_2, u_1, u_0
-    right = u[..., -1:-3:-1]                 # u_{n-1}, u_{n-2}
+    # single-element concats, not negative-stride slices: the `rev`
+    # primitive is unsupported in Pallas TPU lowering (euler_rhs_fused
+    # runs this inside a kernel; caught by the cross-lowering pre-flight)
+    left = jnp.concatenate([u[..., 2:3], u[..., 1:2], u[..., 0:1]],
+                           axis=-1)          # u_2, u_1, u_0
+    right = jnp.concatenate([u[..., -1:], u[..., -2:-1]],
+                            axis=-1)         # u_{n-1}, u_{n-2}
     return jnp.concatenate([left, u, right], axis=-1), n + 1
 
 
@@ -116,8 +121,10 @@ def _pad_mirror_R(u):
     # n+1 interfaces j=0..n, stencil centred u_j; same mirror ghosts
     # (Common.jl:576-629 wenoR_roe).
     n = u.shape[-1]
-    left = u[..., 1::-1][..., :2]            # u_1, u_0
-    right = u[..., -1:-4:-1]                 # u_{n-1}, u_{n-2}, u_{n-3}
+    left = jnp.concatenate([u[..., 1:2], u[..., 0:1]],
+                           axis=-1)          # u_1, u_0
+    right = jnp.concatenate([u[..., -1:], u[..., -2:-1], u[..., -3:-2]],
+                            axis=-1)         # u_{n-1}, u_{n-2}, u_{n-3}
     return jnp.concatenate([left, u, right], axis=-1), n + 1
 
 

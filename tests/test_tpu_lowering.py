@@ -1,0 +1,73 @@
+"""TPU cross-lowering pre-flight (runs on the CPU host).
+
+jax.jit(f).trace(x).lower(lowering_platforms=("tpu",)) runs the full
+StableHLO + Mosaic lowering pipeline without TPU hardware — it catches
+kernel constructs Mosaic rejects (e.g. dot precision HIGH, caught this
+way before ever reaching the chip) and measures the serialized program
+size (the remote tunnel's compile requests fail at ~270 MB;
+embedded-literal solver constants were the cause).
+
+Runs in a SUBPROCESS without x64: cross-lowering under jax_enable_x64
+(which the CPU suite forces) hits an infinite-recursion JAX bug in
+weak-type conversion.
+"""
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from cfd_julia_tpu.ops import pallas_kernels as pk
+
+def lower(fn, *args):
+    low = jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+    return low.as_text()
+
+n = 513
+d = 1.0 / (n - 1)
+u = jnp.zeros((n, n), jnp.float32)
+f = jnp.zeros((n, n), jnp.float32)
+uc = jnp.zeros((n // 2 + 1, n // 2 + 1), jnp.float32)
+q = jnp.ones((3, 1024), jnp.float32)
+cases = {
+    "redblack": (lambda u, f: pk.redblack_sweeps_fused(
+        u, f, d, d, 2, interpret=False), (u, f)),
+    "resrestrict": (lambda u, f: pk.residual_restrict_fused(
+        u, f, d, d, interpret=False), (u, f)),
+    "smoothresrestrict": (lambda u, f: pk.smooth_residual_restrict_fused(
+        u, f, d, d, 2, interpret=False), (u, f)),
+    "prolsmooth": (lambda u, f, uc: pk.prolong_correct_smooth_fused(
+        u, f, uc, d, d, 2, interpret=False), (u, f, uc)),
+    "arakawa": (lambda a, b: pk.arakawa_rhs_fused(
+        a, b, d, d, 100.0, interpret=False), (u[:-1, :-1], f[:-1, :-1])),
+    "euler": (lambda q: pk.euler_rhs_fused(
+        q, 1.4, d, "hllc", interpret=False), (q,)),
+}
+for name, (fn, args) in cases.items():
+    txt = lower(fn, *args)
+    assert "tpu_custom_call" in txt, name
+    print(name, "OK")
+
+# solver program size guard: no step may embed big literal constants
+from cfd_julia_tpu.models import vortex
+from cfd_julia_tpu.stepping import loop
+
+cfg = vortex.VortexConfig(nx=512, ny=512, solver="ps23", dt=1e-3)
+step = vortex.make_spectral_step_half_packed(cfg, jnp.float32)
+h = jnp.zeros((2, 512, 257), jnp.float32)
+mb = len(lower(lambda s: loop.run_steps(step, s, 10), h)) / 1e6
+# embedded constants scale ~n^2: 3 MB here would be ~50 MB at 2048^2;
+# the traced-consts form measures ~0.05 MB at 2048^2
+assert mb < 3.0, f"ps23 step lowered text {mb:.1f} MB - embedded constants are back"
+print(f"ps23_size OK ({mb:.2f} MB)")
+"""
+
+
+def test_tpu_cross_lowering_preflight():
+    r = subprocess.run([sys.executable, "-c", _SCRIPT], text=True,
+                       capture_output=True, timeout=900)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    for name in ("redblack", "resrestrict", "smoothresrestrict",
+                 "prolsmooth", "arakawa", "euler", "ps23_size"):
+        assert f"{name} OK" in r.stdout, (name, r.stdout)
