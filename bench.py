@@ -104,16 +104,26 @@ CAVITY_VARIANTS = (
 
 
 def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
-                 variants=CAVITY_VARIANTS):
+                 variants=CAVITY_VARIANTS, budget_s: float = 1500.0):
     """Best cavity throughput across Poisson implementations (the rfft
     DST-I paths vs the MXU matmul paths — identical numerics, verified
-    in tests); returns (steps_per_sec, winning_variant)."""
+    in tests); returns (steps_per_sec, winning_variant).
+
+    budget_s: once a variant has been measured, stop racing when the
+    elapsed time exceeds the budget — cold remote compiles run minutes
+    each and the headline must be emitted before any driver timeout."""
     import jax.numpy as jnp
     from cfd_julia_tpu.models import cavity
 
     dtype = dtype or jnp.float32
+    t_start = time.perf_counter()
     best, best_impl = 0.0, None
     for poisson, prec, rhs in variants:
+        if best_impl and time.perf_counter() - t_start > budget_s:
+            print(f"# cavity race budget exhausted "
+                  f"({time.perf_counter() - t_start:.0f}s); emitting best "
+                  f"so far", file=sys.stderr)
+            break
         name = poisson if prec == "highest" else f"{poisson}:{prec}"
         if rhs != "xla":
             name += f"+{rhs}rhs"
@@ -151,17 +161,22 @@ PS_VARIANTS = (
 
 
 def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=None,
-                         variants=PS_VARIANTS):
+                         variants=PS_VARIANTS, budget_s: float = 1200.0):
     """Best ps23 throughput across FFT implementations; returns
-    (steps_per_sec, winning_variant)."""
+    (steps_per_sec, winning_variant).  budget_s as in bench_cavity."""
     import jax
     import jax.numpy as jnp
     from cfd_julia_tpu.models import vortex
 
     dtype = dtype or jnp.float32
+    t_start = time.perf_counter()
     w0 = None
     best, best_impl = 0.0, None
     for fft_impl, prec, pair in variants:
+        if best_impl and time.perf_counter() - t_start > budget_s:
+            print("# ps23 race budget exhausted; emitting best so far",
+                  file=sys.stderr)
+            break
         name = fft_impl if prec == "highest" else f"{fft_impl}:{prec}"
         if pair != "pack":
             name += f"+{pair}"
