@@ -365,11 +365,13 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
         ifft2_fn, rfft2_fn = jnp.fft.ifft2, jnp.fft.rfft2
         ifft_rows_fn = ifft_cols_fn = None
 
-    def pairs_inverse(heads, tails):
-        """(P, nx, ny//2+1) packed-pair halves -> (P, nx, ny) physical."""
+    def pairs_inverse(heads, tails, active_cols=None):
+        """(P, nx, ny//2+1) packed-pair halves -> (P, nx, ny) physical.
+        active_cols: band-limit of the inputs (rowsfirst skips the zero
+        columns in its kx transform)."""
         if cfg.pair_impl == "rowsfirst":
             return spectral.ifft2_pairs_mirror_after_rows(
-                heads, tails, ny, ifft_rows_fn, ifft_cols_fn)
+                heads, tails, ny, ifft_rows_fn, ifft_cols_fn, active_cols)
         return ifft2_fn(jnp.stack([
             spectral.pack_hermitian_pair(heads[p], tails[p], ny)
             for p in range(heads.shape[0])]))
@@ -391,8 +393,10 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
 
         def jac(H, jc):
             h1, t1, h2, t2 = jc
+            # the 2/3 band keeps only columns iy < nye//2 = ny/3
             z = pairs_inverse(jnp.stack([h1 * H, h2 * H]),
-                              jnp.stack([t1 * H, t2 * H]))
+                              jnp.stack([t1 * H, t2 * H]),
+                              active_cols=((2 * ny) // 3) // 2)
             return rfft2_fn(z[0].real * z[0].imag
                             - z[1].real * z[1].imag)
     elif cfg.solver == "ps32":

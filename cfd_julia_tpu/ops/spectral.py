@@ -83,19 +83,34 @@ def pack_hermitian_pair(head, tail_src, n: int):
 
 
 def ifft2_pairs_mirror_after_rows(heads, tails, n: int,
-                                  ifft_rows_fn=None, ifft_cols_fn=None):
+                                  ifft_rows_fn=None, ifft_cols_fn=None,
+                                  active_cols: int | None = None):
     """Batched ifft2(pack_hermitian_pair(head_p, tail_p, n)) for P pairs
     WITHOUT the row-direction Hermitian flip: the kx-axis inverse
     commutes with the mirror — ifft of conj(s[(n-i) % n]) equals
     conj(ifft(s)) — so all 2P half-width blocks transform FIRST (one
     batched axis -2 transform of (2P, n, n//2+1)) and only a column
     flip+concat assembles the full-width intermediate before the axis -1
-    transform.  heads/tails: (P, n, n//2+1); returns (P, n, n)."""
+    transform.  heads/tails: (P, n, n//2+1); returns (P, n, n).
+
+    active_cols: if the inputs are band-limited (columns >= active_cols
+    all zero — e.g. the 2/3-rule dealias band keeps only ky < ny/3), the
+    zero columns are sliced off BEFORE the row transform and zero-padded
+    back after — the batched kx transform does only active_cols/(n/2+1)
+    of the work."""
     if ifft_rows_fn is None:
         ifft_rows_fn = lambda x: jnp.fft.ifft(x, axis=-2)
     if ifft_cols_fn is None:
         ifft_cols_fn = lambda x: jnp.fft.ifft(x, axis=-1)
-    r = ifft_rows_fn(jnp.concatenate([heads, tails], axis=0))
+    hy = heads.shape[-1]
+    x = jnp.concatenate([heads, tails], axis=0)
+    if active_cols is not None and active_cols < hy:
+        x = x[..., :active_cols]
+    r = ifft_rows_fn(x)
+    if active_cols is not None and active_cols < hy:
+        r = jnp.concatenate(
+            [r, jnp.zeros(r.shape[:-1] + (hy - active_cols,), r.dtype)],
+            axis=-1)
     r1, r2 = r[: heads.shape[0]], jnp.conj(r[heads.shape[0] :])
     tail = r2[..., :, 1 : n - n // 2][..., :, ::-1]
     return ifft_cols_fn(jnp.concatenate([r1, tail], axis=-1))
