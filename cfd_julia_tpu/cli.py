@@ -126,14 +126,17 @@ def cmd_bench(args):
     import bench as bench_mod  # repo-root bench
 
     if args.nx:
-        sps, impl = bench_mod.bench_cavity(nx=args.nx, steps=args.steps)
+        variants = (bench_mod.CAVITY_VARIANTS[:1] if args.quick
+                    else bench_mod.CAVITY_VARIANTS)
+        sps, impl = bench_mod.bench_cavity(nx=args.nx, steps=args.steps,
+                                           variants=variants)
         print(json.dumps({"metric": f"cavity_{args.nx}_steps_per_sec",
                           "value": round(sps, 2), "unit": "steps/s",
                           "poisson_impl": impl}))
         return 0
     # explicit empty argv: bench_mod.main parses sys.argv otherwise, which
     # still holds this CLI's subcommand and errors
-    return bench_mod.main([])
+    return bench_mod.main(["--quick"] if args.quick else [])
 
 
 def cmd_validate(_args):
