@@ -327,6 +327,8 @@ def main(argv=None):
     pb = sub.add_parser("bench")
     pb.add_argument("--nx", type=int, default=0)
     pb.add_argument("--steps", type=int, default=200)
+    pb.add_argument("--quick", action="store_true",
+                    help="one variant, one compile (flaky-tunnel mode)")
     sub.add_parser("validate")
     pa = sub.add_parser("run-all")
     pa.add_argument("--outdir", default="out")
