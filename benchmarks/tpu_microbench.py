@@ -205,6 +205,9 @@ def bench_ps23(n):
     h0 = jax.jit(vortex.half_init_packed)(w0)
     timed(f"ps23_full_{n}", full, wf, iters=10)
     timed(f"ps23_half_{n}", half, h0, iters=10)
+    cfg32 = vortex.VortexConfig(nx=n, ny=n, solver="ps32", dt=1e-3)
+    step32 = vortex.make_spectral_step_half_packed(cfg32, jnp.float32)
+    timed(f"ps32_half_{n}", step32, h0, iters=10)
     for fft_impl, prec, pair in (("matmul", "highest", "pack"),
                                  ("matmul", "high", "pack"),
                                  ("matmul", "high", "rowsfirst"),
