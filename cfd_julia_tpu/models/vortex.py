@@ -372,9 +372,7 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
         if cfg.pair_impl == "rowsfirst":
             return spectral.ifft2_pairs_mirror_after_rows(
                 heads, tails, ny, ifft_rows_fn, ifft_cols_fn, active_cols)
-        return ifft2_fn(jnp.stack([
-            spectral.pack_hermitian_pair(heads[p], tails[p], ny)
-            for p in range(heads.shape[0])]))
+        return ifft2_fn(spectral.pack_hermitian_pair(heads, tails, ny))
 
     if cfg.solver == "hybrid":
         def jac_consts():
