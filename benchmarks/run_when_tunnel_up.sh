@@ -31,7 +31,7 @@ CFD_TPU_SMOKE=1 timeout 3600 python -m pytest tests/test_tpu_smoke.py -q 2>&1 \
     | tee "$OUT/tpu_smoke_$STAMP.log"
 
 echo "== 4. candidate microbench (north-star sizes) =="
-timeout 3600 python benchmarks/tpu_microbench.py 2>&1 \
+timeout 7200 python benchmarks/tpu_microbench.py 2>&1 \
     | tee "$OUT/microbench_full_$STAMP.log"
 
 echo "== 5. full bench (headline + secondaries) =="

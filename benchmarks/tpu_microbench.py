@@ -333,16 +333,18 @@ def main():
     args = ap.parse_args()
     small = args.sizes == "small"
 
+    # ordered by auto-selection value: a timeout or tunnel flap mid-run
+    # should cost the least informative families first
     jobs = [
-        ("fft", bench_fft, 256 if small else 2048),
-        ("dst", bench_dst, 256 if small else 1024),
         ("cavity", bench_cavity, 256 if small else 1024),
         ("ps23", bench_ps23, 256 if small else 2048),
-        ("mg_transfers", bench_mg_transfers, 512 if small else 4096),
-        ("mg_edges", bench_mg_edges, 512 if small else 4096),
         ("mg_vcycle", bench_mg_vcycle, 512 if small else 4096),
+        ("mg_edges", bench_mg_edges, 512 if small else 4096),
+        ("fft", bench_fft, 256 if small else 2048),
+        ("dst", bench_dst, 256 if small else 1024),
         ("pallas_rhs", bench_pallas_rhs, 256 if small else 2048),
         ("euler", bench_euler, 1024 if small else 8192),
+        ("mg_transfers", bench_mg_transfers, 512 if small else 4096),
     ]
 
     if args.only:
