@@ -61,6 +61,9 @@ def cmd_run(args, extra):
         # reference's in-script loops (weno_dirichlet.jl:158, fft_p.jl:48)
         # writing per-grid files into one directory
         # multiple fields zip together: "nx=32,64;ny=32,64"
+        import os
+        import shutil
+
         sweep = {}
         for part in args.sweep.split(";"):
             key, _, raw = part.partition("=")
@@ -93,9 +96,6 @@ def cmd_run(args, extra):
             # (weno_dirichlet.jl:158 writes solution_d_$nx.txt,
             # fft_p.jl:110 output_$nx.txt — the reference's order.jl
             # readers expect the suffix names side by side)
-            import os
-            import shutil
-
             vals = [str(v) for v in pt.values()]
             # reference files carry a single grid suffix (output_$nx.txt)
             suffix = vals[0] if len(set(vals)) == 1 else "_".join(vals)

@@ -184,6 +184,7 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
     (tests/test_autodiff.py, examples/adjoint_cavity.py); the Pallas RHS
     bakes re into the kernel, so it requires the static cfg value."""
     dx, dy, dt = cfg.dx, cfg.dy, cfg.dt
+    re_is_static = re is None
     re = cfg.re if re is None else re
 
     if cfg.rhs_impl == "pallas":
@@ -191,7 +192,7 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
             raise ValueError(
                 "rhs_impl='pallas' is single-device only (the mesh-aware "
                 "step shards the XLA RHS)")
-        if re is not cfg.re:
+        if not re_is_static:
             raise ValueError(
                 "rhs_impl='pallas' requires the static cfg.re (the fused "
                 "kernel bakes it in); use rhs_impl='xla' for traced re")

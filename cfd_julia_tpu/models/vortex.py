@@ -141,17 +141,20 @@ def _spectral_consts(cfg: VortexConfig, dtype):
     return k2, kx, ky
 
 
+def _kvec_traced(n: int, d: float, dtype, eps: float):
+    """Traced eps-guarded FFT wavenumber vector (the jnp twin of
+    spectral.fft_wavenumber_index; see _half_consts_traced for why)."""
+    h = 2.0 * np.pi / (n * d)
+    i = jnp.arange(n)
+    k = (h * jnp.where(i < n // 2, i, i - n)).astype(dtype)
+    return jnp.where(i == 0, jnp.asarray(eps, dtype), k)
+
+
 def _spectral_consts_traced(cfg: VortexConfig, dtype, eps: float = 1e-6):
     """_spectral_consts as traced jnp (iota + elementwise) — embedded
     numpy literals bloat remote compile requests (_half_consts_traced)."""
-    def kvec(n, d):
-        h = 2.0 * np.pi / (n * d)
-        i = jnp.arange(n)
-        k = (h * jnp.where(i < n // 2, i, i - n)).astype(dtype)
-        return jnp.where(i == 0, jnp.asarray(eps, dtype), k)
-
-    kx = kvec(cfg.nx, cfg.dx)
-    ky = kvec(cfg.ny, cfg.dy)
+    kx = _kvec_traced(cfg.nx, cfg.dx, dtype, eps)
+    ky = _kvec_traced(cfg.ny, cfg.dy, dtype, eps)
     return kx[:, None] ** 2 + ky[None, :] ** 2, kx, ky
 
 
@@ -285,12 +288,10 @@ def _half_consts_traced(cfg: VortexConfig, dtype, eps: float = 1e-6):
     intermediates inside jit are fine on the remote backend — only
     boundary/eager complex is hazardous)."""
     nx, ny = cfg.nx, cfg.ny
-    hx = 2.0 * np.pi / (nx * cfg.dx)
     hy = 2.0 * np.pi / (ny * cfg.dy)
     ix = jnp.arange(nx)[:, None]
     iy = jnp.arange(ny // 2 + 1)[None, :]
-    kx = (hx * jnp.where(ix < nx // 2, ix, ix - nx)).astype(dtype)
-    kx = jnp.where(ix == 0, jnp.asarray(eps, dtype), kx)
+    kx = _kvec_traced(nx, cfg.dx, dtype, eps)[:, None]
     kyh = (hy * iy).astype(dtype)
     kyg = jnp.where(kyh == 0.0, jnp.asarray(eps, dtype), kyh)
     k2h = kx**2 + kyg**2

@@ -38,7 +38,6 @@ def _rb_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
                tile, n_rows, n_cols, dx2i, dy2i, sweeps):
     t = pl.program_id(0)
     row0 = t * tile  # global index of this tile's first row
-    diag = -2.0 * dx2i - 2.0 * dy2i
     slab = tile + 2 * GUARD
 
     # slab rows k hold global rows row0 - GUARD + k (both u and f padded
@@ -52,29 +51,13 @@ def _rb_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
 
     u = us[:, :]                        # (slab, W)
     f = fs[:, :]
-    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + row0 - GUARD
-    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-    interior = (
-        (rows > 0) & (rows < n_rows - 1) & (cols > 0) & (cols < n_cols - 1)
-    )
-    parity = (rows + cols) % 2
-
-    def half(uc, want):
-        north = jnp.pad(uc[:-1, :], ((1, 0), (0, 0)))
-        south = jnp.pad(uc[1:, :], ((0, 1), (0, 0)))
-        west = jnp.pad(uc[:, :-1], ((0, 0), (1, 0)))
-        east = jnp.pad(uc[:, 1:], ((0, 0), (0, 1)))
-        lap = (north - 2.0 * uc + south) * dx2i + (west - 2.0 * uc + east) * dy2i
-        r = jnp.where(interior & (parity == want), f - lap, 0.0)
-        return uc + r / diag
-
+    interior, parity = _interior_parity(u.shape, row0 - GUARD,
+                                        n_rows, n_cols)
     # each half-update shrinks the in-slab validity ring by one row, so
     # `sweeps` full red-black sweeps need 2*sweeps <= GUARD halo rows;
     # the tile rows GUARD..GUARD+tile-1 stay exact throughout — identical
     # math to `sweeps` single-sweep launches, at 1/sweeps the HBM traffic
-    for _ in range(sweeps):
-        u = half(u, 0)
-        u = half(u, 1)
+    u = _rb_sweeps_slab(u, f, interior, parity, dx2i, dy2i, sweeps)
     out_ref[:, :] = u[GUARD : GUARD + tile, :]
 
 
@@ -185,6 +168,56 @@ def _band_matrix(rows_i, cols_i, offset, w0, w1, dtype):
                                dtype.type(0.0)))
 
 
+def _interior_parity(shape, first_global_row, n_rows, n_cols):
+    """Interior mask + red-black parity for a slab whose row k holds
+    global row first_global_row + k."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + first_global_row
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    interior = (
+        (rows > 0) & (rows < n_rows - 1) & (cols > 0) & (cols < n_cols - 1)
+    )
+    return interior, (rows + cols) % 2
+
+
+def _lap_slab(u, dx2i, dy2i):
+    """5-point Laplacian on a slab via zero-pad shifts (edge rows/cols
+    invalid -> callers mask)."""
+    north = jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
+    south = jnp.pad(u[1:, :], ((0, 1), (0, 0)))
+    west = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+    east = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
+    return (north - 2.0 * u + south) * dx2i + (west - 2.0 * u + east) * dy2i
+
+
+def _rb_sweeps_slab(u, f, interior, parity, dx2i, dy2i, sweeps):
+    """`sweeps` red-black GS sweeps on a slab (each half-update shrinks
+    the validity ring by one row)."""
+    diag = -2.0 * dx2i - 2.0 * dy2i
+    for _ in range(sweeps):
+        for want in (0, 1):
+            r = jnp.where(interior & (parity == want),
+                          f - _lap_slab(u, dx2i, dy2i), 0.0)
+            u = u + r / diag
+    return u
+
+
+def _restrict_slab_to(out_ref, r, tc, wc):
+    """Full-weighting restriction of a residual slab (2 tc + 2 GUARD rows)
+    into a (tc, wc) coarse output block: banded row combine+decimate, then
+    column combine+decimate in 128-lane windows (window-invariant bands;
+    see the module note)."""
+    a = _band_matrix(tc, r.shape[0], GUARD, 0.5, 0.25, r.dtype)
+    tm = jax.lax.dot(a, r, precision=_MM_PRECISION,
+                     preferred_element_type=r.dtype)          # (tc, W)
+    tp = jnp.pad(tm, ((0, 0), (128, 384)))
+    b = _band_matrix(128, 512, 128, 0.5, 0.25, r.dtype).T     # (512, 128)
+    for k in range(wc // 128):
+        win = jax.lax.slice(tp, (0, 256 * k), (tc, 256 * k + 512))
+        out_ref[:, 128 * k : 128 * (k + 1)] = jax.lax.dot(
+            win, b, precision=_MM_PRECISION,
+            preferred_element_type=r.dtype)
+
+
 def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
                          tc, n_rows, n_cols, dx2i, dy2i, wc):
     t = pl.program_id(0)
@@ -199,36 +232,9 @@ def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
 
     u = us[:, :]                         # (slab, W)
     f = fs[:, :]
-    W = u.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + (p0 - GUARD)
-    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-    interior = (
-        (rows > 0) & (rows < n_rows - 1) & (cols > 0) & (cols < n_cols - 1)
-    )
-    north = jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
-    south = jnp.pad(u[1:, :], ((0, 1), (0, 0)))
-    west = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
-    east = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
-    lap = (north - 2.0 * u + south) * dx2i + (west - 2.0 * u + east) * dy2i
-    r = jnp.where(interior, f - lap, 0.0)
-
-    # row combine+decimate: coarse local c <- fine slab rows 2c+GUARD -1/0/+1
-    a = _band_matrix(tc, slab, GUARD, 0.5, 0.25, r.dtype)
-    tm = jax.lax.dot(a, r, precision=_MM_PRECISION,
-                     preferred_element_type=r.dtype)          # (tc, W)
-
-    # column combine+decimate in 128-lane output windows: out lanes
-    # [128k, 128k+128) read fine lanes [256k-1, 256k+257) — slice the
-    # left-padded row-combined slab at [256k, 256k+512) (real lanes
-    # 256k-128 .. 256k+384), so the band matrix is window-invariant:
-    # delta = j - 2 d - 128.
-    tp = jnp.pad(tm, ((0, 0), (128, 384)))
-    b = _band_matrix(128, 512, 128, 0.5, 0.25, r.dtype).T    # (512, 128)
-    for k in range(wc // 128):
-        win = jax.lax.slice(tp, (0, 256 * k), (tc, 256 * k + 512))
-        out_ref[:, 128 * k : 128 * (k + 1)] = jax.lax.dot(
-            win, b, precision=_MM_PRECISION,
-            preferred_element_type=r.dtype)
+    interior, _ = _interior_parity(u.shape, p0 - GUARD, n_rows, n_cols)
+    r = jnp.where(interior, f - _lap_slab(u, dx2i, dy2i), 0.0)
+    _restrict_slab_to(out_ref, r, tc, wc)
 
 
 def _smooth_res_restrict_kernel(u_hbm, f_hbm, u_out, fc_out, us, fs,
@@ -250,39 +256,13 @@ def _smooth_res_restrict_kernel(u_hbm, f_hbm, u_out, fc_out, us, fs,
 
     u = us[:, :]
     f = fs[:, :]
-    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + (p0 - GUARD)
-    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-    interior = (
-        (rows > 0) & (rows < n_rows - 1) & (cols > 0) & (cols < n_cols - 1)
-    )
-    parity = (rows + cols) % 2
-    diag = -2.0 * dx2i - 2.0 * dy2i
-
-    def lap_of(ucur):
-        north = jnp.pad(ucur[:-1, :], ((1, 0), (0, 0)))
-        south = jnp.pad(ucur[1:, :], ((0, 1), (0, 0)))
-        west = jnp.pad(ucur[:, :-1], ((0, 0), (1, 0)))
-        east = jnp.pad(ucur[:, 1:], ((0, 0), (0, 1)))
-        return ((north - 2.0 * ucur + south) * dx2i
-                + (west - 2.0 * ucur + east) * dy2i)
-
-    for _ in range(sweeps):
-        for want in (0, 1):
-            r = jnp.where(interior & (parity == want), f - lap_of(u), 0.0)
-            u = u + r / diag
+    interior, parity = _interior_parity(u.shape, p0 - GUARD,
+                                        n_rows, n_cols)
+    u = _rb_sweeps_slab(u, f, interior, parity, dx2i, dy2i, sweeps)
     u_out[:, :] = u[GUARD : GUARD + 2 * tc, :]
 
-    r = jnp.where(interior, f - lap_of(u), 0.0)
-    a = _band_matrix(tc, slab, GUARD, 0.5, 0.25, r.dtype)
-    tm = jax.lax.dot(a, r, precision=_MM_PRECISION,
-                     preferred_element_type=r.dtype)          # (tc, W)
-    tp = jnp.pad(tm, ((0, 0), (128, 384)))
-    b = _band_matrix(128, 512, 128, 0.5, 0.25, r.dtype).T    # (512, 128)
-    for k in range(wc // 128):
-        win = jax.lax.slice(tp, (0, 256 * k), (tc, 256 * k + 512))
-        fc_out[:, 128 * k : 128 * (k + 1)] = jax.lax.dot(
-            win, b, precision=_MM_PRECISION,
-            preferred_element_type=r.dtype)
+    r = jnp.where(interior, f - _lap_slab(u, dx2i, dy2i), 0.0)
+    _restrict_slab_to(fc_out, r, tc, wc)
 
 
 def smooth_residual_restrict_fused(u, f, dx: float, dy: float,
@@ -438,29 +418,10 @@ def _prolong_smooth_kernel(u_hbm, f_hbm, uc_hbm, out_ref, us, fs, ucs,
                                  preferred_element_type=uc.dtype))
     corr = jnp.concatenate(parts, axis=1)                    # (slab, W)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) + (p0 - GUARD)
-    cols = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
-    interior = (
-        (rows > 0) & (rows < n_rows - 1) & (cols > 0) & (cols < n_cols - 1)
-    )
+    interior, parity = _interior_parity(u.shape, p0 - GUARD,
+                                        n_rows, n_cols)
     u = u + jnp.where(interior, corr, 0.0)
-
-    parity = (rows + cols) % 2
-    diag = -2.0 * dx2i - 2.0 * dy2i
-
-    def half(ucur, want):
-        north = jnp.pad(ucur[:-1, :], ((1, 0), (0, 0)))
-        south = jnp.pad(ucur[1:, :], ((0, 1), (0, 0)))
-        west = jnp.pad(ucur[:, :-1], ((0, 0), (1, 0)))
-        east = jnp.pad(ucur[:, 1:], ((0, 0), (0, 1)))
-        lap = ((north - 2.0 * ucur + south) * dx2i
-               + (west - 2.0 * ucur + east) * dy2i)
-        r = jnp.where(interior & (parity == want), f - lap, 0.0)
-        return ucur + r / diag
-
-    for _ in range(sweeps):
-        u = half(u, 0)
-        u = half(u, 1)
+    u = _rb_sweeps_slab(u, f, interior, parity, dx2i, dy2i, sweeps)
     out_ref[:, :] = u[GUARD : GUARD + tile, :]
 
 
