@@ -120,10 +120,12 @@ def bench_mg_edges(n):
                   c["f"], multigrid.smooth(x, c["f"], dx, dx, 2,
                                            c["masks"], impl="xla"),
                   dx, dx, c["imask"]))), u, iters=10, consts=cs)
-    timed(f"edge_smoothresrestrict_fused_{n}",
-          lambda x, c: sc * multigrid.prolongation_matmul(
-              pallas_kernels.smooth_residual_restrict_fused(
-                  x, c["f"], dx, dx, 2)[1]), u, iters=10, consts=cs)
+    for tile in (32, 64):
+        timed(f"edge_smoothresrestrict_fused_t{tile}_{n}",
+              lambda x, c, t=tile: sc * multigrid.prolongation_matmul(
+                  pallas_kernels.smooth_residual_restrict_fused(
+                      x, c["f"], dx, dx, 2, tile=t)[1]),
+              u, iters=10, consts=cs)
     # ascend edge: prolong + correct + v3=2 post-smooth
     timed(f"edge_prolsmooth_xla_{n}",
           lambda x, c: multigrid.smooth(
