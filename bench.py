@@ -8,19 +8,35 @@ host round-trips per step, the framework's real execution mode); a scalar
 host pull after the scan forces materialization (plain block_until_ready
 returns early through the remote-TPU tunnel). dt is set diffusively stable
 for 1024^2 at Re=100 (nu dt/dx^2 <= 0.2 -> dt = 2e-5) and the result is
-checked finite.
+checked finite.  Windows are 1000 steps so the remote tunnel's per-call
+dispatch latency (tens of ms, measured round 2: a 200-step window read
+~0.2 ms/step slower than a 50-iter microbench window extrapolates to)
+is <1% of the measurement.
+
+Process model (round-3 hardening): every (family, variant) pair runs in
+its OWN subprocess (`--worker` mode).  The first UNIMPLEMENTED op poisons
+a process's TPU client — afterwards even iota fails — and round 2 lost
+ps23 + multigrid to exactly that cascade when all three families shared
+one process.  Subprocess workers share the persistent compile cache, so
+isolation costs only process startup.
 
 vs_baseline: the reference publishes no numbers and Julia is not in this
-image, so the denominator is anchored to a MEASUREMENT (BASELINE.md
-"Measured reference baseline"): the reference's own NumPy vectorized
-vortex-merger port runs 1.89 steps/s at 1024^2 on this machine's CPU
-(fair variant); the cavity step does ~half its transform work (6 real
-DST-I of 1023^2 vs 6 complex FFTs) plus the same 3 Arakawa RHS evals
-=> ~4.2 steps/s NumPy-equivalent; Julia/FFTW <= 2x faster => 5-8 steps/s.
-The divisor is the midpoint 6.5 (the emitted JSON carries the range).
-North star: >= 100x => >= 650-800 steps/sec.
+image, so the denominator is a MEASUREMENT of the actual cavity
+algorithm (benchmarks/reference_cavity_numpy.py — the ch. 18 numerics in
+vectorized NumPy + scipy-pocketfft DST-I, verified equal to the JAX
+model to 1e-14): 0.80 steps/s at 1024^2 on this machine's single CPU
+core (0.80/0.97/0.88 across three runs), split ~0.28 s DST + ~0.80 s
+stencil/BC per step.  Julia+FFTW is granted 1.5-2.5x on the DST share
+(FFTW vs pocketfft) and 1-8x on the stencil share (fused compiled loop
+vs ~20 NumPy temporaries), giving a Julia range of ~1-4.9 steps/s; the
+divisor is 5.0 — ABOVE the most generous end of the fastest run, so
+vs_baseline is a lower bound.  (Supersedes the round-2 5-8 steps/s
+estimate, which was per-transform arithmetic extrapolated from a
+different solver's port and underestimated the RHS cost ~6x; see
+BASELINE.md round-3 section.)  North star: >= 100x => >= 500/s.
 
-Secondary metrics go to stderr.
+Secondary metrics (ps23 2048^2 steps/s, multigrid 4096^2 solve-to-tol
+wall-clock) go to stderr AND into benchmarks/results/bench_last.json.
 """
 from __future__ import annotations
 
@@ -31,9 +47,12 @@ import subprocess
 import sys
 import time
 
-# measured-anchored Julia estimate, midpoint of 5-8 steps/s (see docstring)
-JULIA_BASELINE_STEPS_PER_SEC = 6.5
+# measured-anchored Julia estimate: upper bound of the ~1-4.9 steps/s
+# range derived from the direct cavity-algorithm measurement (docstring)
+JULIA_BASELINE_STEPS_PER_SEC = 5.0
 HEADLINE_METRIC = "cavity_1024_steps_per_sec"
+RESULTS_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "results", "bench_last.json")
 
 
 def _emit(value, vs_baseline, metric=HEADLINE_METRIC, **extra):
@@ -88,70 +107,23 @@ def _timed_scan(step, state, steps: int, sync):
     state = run(state)          # compile + warm up
     sync(state)
     t0 = time.perf_counter()
-    state = run(state)
-    sync(state)
+    state = run(state)          # warm output as input: not re-servable
+    sync(state)                 # from the remote execution cache
     dt = time.perf_counter() - t0
     return steps / dt, state
 
 
+# Variant order = value order: the proven round-2 winner first, then the
+# microbench-ranked challengers (microbench_full_20260816T213326.log:
+# matmul_bf16x3 3.32 ms < fst_half 3.34 < fst 3.51 < matmul/fst_mxu), so
+# a budget exhaustion or tunnel flap still leaves the best-known number.
 CAVITY_VARIANTS = (
-    ("fst", "highest", "xla"), ("fst_half", "highest", "xla"),
-    ("matmul", "highest", "xla"), ("matmul_bf16x3", "highest", "xla"),
-    ("fst_mxu", "highest", "xla"), ("fst_half_mxu", "highest", "xla"),
-    ("fst_half_mxu", "high", "xla"), ("fst", "highest", "pallas"),
+    ("fst", "highest", "xla"), ("matmul_bf16x3", "highest", "xla"),
+    ("fst_half", "highest", "xla"), ("fst_half_mxu", "high", "xla"),
+    ("fst_mxu", "highest", "xla"), ("matmul", "highest", "xla"),
+    ("fst_half_mxu", "highest", "xla"), ("fst", "highest", "pallas"),
     ("fst_half_mxu", "high", "pallas"),
 )
-
-
-def bench_cavity(nx: int = 1024, steps: int = 200, dtype=None,
-                 variants=CAVITY_VARIANTS, budget_s: float = 1500.0):
-    """Best cavity throughput across Poisson implementations (the rfft
-    DST-I paths vs the MXU matmul paths — identical numerics, verified
-    in tests); returns (steps_per_sec, winning_variant).
-
-    budget_s: once a variant has been measured, stop racing when the
-    elapsed time exceeds the budget — cold remote compiles run minutes
-    each and the headline must be emitted before any driver timeout."""
-    import jax.numpy as jnp
-    from cfd_julia_tpu.models import cavity
-
-    dtype = dtype or jnp.float32
-    t_start = time.perf_counter()
-    best, best_impl = 0.0, None
-    for poisson, prec, rhs in variants:
-        if best_impl and time.perf_counter() - t_start > budget_s:
-            print(f"# cavity race budget exhausted "
-                  f"({time.perf_counter() - t_start:.0f}s); emitting best "
-                  f"so far", file=sys.stderr)
-            break
-        name = poisson if prec == "highest" else f"{poisson}:{prec}"
-        if rhs != "xla":
-            name += f"+{rhs}rhs"
-        # per-variant isolation: a tunnel flap or compile failure in a
-        # later variant must not discard an already-measured number
-        try:
-            cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5,
-                                      poisson=poisson, fft_precision=prec,
-                                      rhs_impl=rhs)
-            step = cavity.make_step_fn(cfg)
-            w0 = jnp.zeros((nx + 1, nx + 1), dtype)
-            state = (w0, jnp.zeros_like(w0), jnp.zeros((), dtype))
-            sps, state = _timed_scan(step, state, steps,
-                                     lambda s: float(s[0].sum()))
-            assert bool(jnp.isfinite(state[0]).all()), \
-                f"cavity bench ({poisson}) went non-finite"
-        except Exception as e:
-            print(f"# cavity {nx}^2 poisson={name} failed: {e!r:.200}",
-                  file=sys.stderr)
-            continue
-        print(f"# cavity {nx}^2 poisson={name}: {sps:.1f} steps/s",
-              file=sys.stderr)
-        if sps > best:
-            best, best_impl = sps, name
-    if best_impl is None:
-        raise RuntimeError("all cavity Poisson variants failed")
-    return best, best_impl
-
 
 PS_VARIANTS = (
     ("xla", "highest", "pack"), ("xla", "highest", "rowsfirst"),
@@ -159,95 +131,177 @@ PS_VARIANTS = (
     ("matmul", "highest", "pack"),
 )
 
+# (transfers, fused, fmg): matmul transfers measured 12x faster in the
+# full V-cycle on chip (vcycle_matmul_pallas 18.2 ms vs conv_pallas
+# 220.5 ms at 4096^2, microbench_full_20260816T213326.log); conv kept as
+# one cross-check entry.
+MG_VARIANTS = (
+    ("matmul", "off", "plain"), ("matmul", "off", "fmg"),
+    ("matmul", "on", "plain"), ("conv", "off", "plain"),
+)
 
-def bench_pseudospectral(nx: int = 2048, steps: int = 20, dtype=None,
-                         variants=PS_VARIANTS, budget_s: float = 1200.0):
-    """Best ps23 throughput across FFT implementations; returns
-    (steps_per_sec, winning_variant).  budget_s as in bench_cavity."""
+
+def _variant_name(worker, impl, prec, third):
+    name = impl if prec == "highest" else f"{impl}:{prec}"
+    if worker == "cavity" and third != "xla":
+        name += f"+{third}rhs"
+    elif worker == "ps23" and third != "pack":
+        name += f"+{third}"
+    return name
+
+
+def worker_cavity(variant: str, nx: int, steps: int):
+    """Measure ONE cavity variant; return steps/s."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import cavity
+
+    poisson, prec, rhs = variant.split(",")
+    cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5, poisson=poisson,
+                              fft_precision=prec, rhs_impl=rhs)
+    step = cavity.make_step_fn(cfg)
+    w0 = jnp.zeros((nx + 1, nx + 1), jnp.float32)
+    state = (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32))
+    sps, state = _timed_scan(step, state, steps,
+                             lambda s: float(s[0].sum()))
+    assert bool(jnp.isfinite(state[0]).all()), \
+        f"cavity ({variant}) went non-finite"
+    return sps
+
+
+def worker_ps23(variant: str, nx: int, steps: int):
+    """Measure ONE ps23 variant; return steps/s."""
     import jax
     import jax.numpy as jnp
     from cfd_julia_tpu.models import vortex
 
-    dtype = dtype or jnp.float32
-    t_start = time.perf_counter()
-    w0 = None
-    best, best_impl = 0.0, None
-    for fft_impl, prec, pair in variants:
-        if best_impl and time.perf_counter() - t_start > budget_s:
-            print("# ps23 race budget exhausted; emitting best so far",
-                  file=sys.stderr)
-            break
-        name = fft_impl if prec == "highest" else f"{fft_impl}:{prec}"
-        if pair != "pack":
-            name += f"+{pair}"
-        try:
-            cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3,
-                                      fft_impl=fft_impl, fft_precision=prec,
-                                      pair_impl=pair)
-            # packed (real) state: complex64 jit params/outputs are
-            # rejected by the remote-TPU backend (see ops.spectral.pack_c)
-            step = vortex.make_spectral_step_half_packed(cfg, dtype)
-            if w0 is None:
-                w0 = vortex.initial_vorticity(cfg, dtype)
-            hf = jax.jit(vortex.half_init_packed)(w0)
-            sps, hf = _timed_scan(step, hf, steps,
-                                  lambda s: float(jnp.abs(s).sum()))
-            assert bool(jnp.isfinite(hf).all()), \
-                f"ps23 bench ({name}) went non-finite"
-        except Exception as e:
-            print(f"# ps23 {nx}^2 fft={name} failed: {e!r:.200}",
-                  file=sys.stderr)
-            continue
-        print(f"# ps23 {nx}^2 fft={name}: {sps:.1f} steps/s",
-              file=sys.stderr)
-        if sps > best:
-            best, best_impl = sps, name
-    if best_impl is None:
-        raise RuntimeError("all ps23 FFT variants failed")
-    return best, best_impl
+    fft_impl, prec, pair = variant.split(",")
+    cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3,
+                              fft_impl=fft_impl, fft_precision=prec,
+                              pair_impl=pair)
+    # packed (real) state: complex64 jit params/outputs are rejected by
+    # the remote-TPU backend (see ops.spectral.pack_c)
+    step = vortex.make_spectral_step_half_packed(cfg, jnp.float32)
+    w0 = vortex.initial_vorticity(cfg, jnp.float32)
+    hf = jax.jit(vortex.half_init_packed)(w0)
+    sps, hf = _timed_scan(step, hf, steps,
+                          lambda s: float(jnp.abs(s).sum()))
+    assert bool(jnp.isfinite(hf).all()), f"ps23 ({variant}) went non-finite"
+    return sps
 
 
-def bench_multigrid(nx: int = 4096, tol: float = 1e-5, dtype=None):
-    """North-star secondary: 4096^2 multigrid Poisson wall-clock, solved
-    to rms/rms0 <= 1e-5 (just above the fp32 residual floor ~2.7e-6).
-    Races Pallas-fused level edges and the full-multigrid start against
-    the pure-XLA zero-start V-cycle, per-variant isolated (an
-    uncompilable kernel or an HTTP-413 oversized remote compile must not
-    lose the run)."""
+def worker_mg(variant: str, nx: int, tol: float):
+    """Measure ONE multigrid variant: 4096^2 solve to rms/rms0 <= tol.
+    Returns (seconds, cycles)."""
     import jax.numpy as jnp
     from cfd_julia_tpu.models import poisson2d
     from cfd_julia_tpu.poisson import multigrid
 
-    dtype = dtype or jnp.float32
-    best = None
-    for fused, fmg in (("auto", True), ("auto", False), ("off", False)):
-        try:
-            mgc = multigrid.MGConfig(tol=tol, max_cycles=20, fused=fused,
-                                     fmg=fmg)
-            cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="multigrid",
-                                          problem="poly", mg=mgc)
-            _, _, _, _, ue, f = poisson2d.build_problem(cfg, dtype)
-            u0 = poisson2d._dirichlet_init(ue)
-            res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)  # compile
-            float(res.rms)
-            t0 = time.perf_counter()
-            res = multigrid.solve(f * (1.0 + 1e-6), u0, cfg.dx, cfg.dy,
-                                  cfg=mgc)
-            cycles = int(res.iterations)
-            ok = float(res.rms / res.rms0) <= tol
-            dt = time.perf_counter() - t0
-            assert ok, f"did not reach tol ({float(res.rms/res.rms0):.2e})"
-        except Exception as e:
-            print(f"# multigrid {nx}^2 fused={fused} fmg={fmg} failed: "
-                  f"{e!r:.200}", file=sys.stderr)
+    transfers, fused, fmg = variant.split(",")
+    mgc = multigrid.MGConfig(tol=tol, max_cycles=20, transfers=transfers,
+                             fused=fused, fmg=(fmg == "fmg"))
+    cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="multigrid",
+                                  problem="poly", mg=mgc)
+    _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
+    u0 = poisson2d._dirichlet_init(ue)
+    res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)  # compile
+    float(res.rms)
+    t0 = time.perf_counter()
+    res = multigrid.solve(f * (1.0 + 1e-6), u0, cfg.dx, cfg.dy, cfg=mgc)
+    rel = float(res.rms / res.rms0)
+    dt = time.perf_counter() - t0
+    assert rel <= tol, f"did not reach tol ({rel:.2e})"
+    return dt, int(res.iterations)
+
+
+def run_worker(args):
+    """Single-variant subprocess body: one JSON result line on stdout."""
+    from cfd_julia_tpu.jaxconfig import configure_jax
+
+    configure_jax(cache_dir="~/.cache/jax_bench_cache", min_compile_secs=1.0)
+    out = {"worker": args.worker, "variant": args.variant}
+    if args.worker == "cavity":
+        out["value"] = worker_cavity(args.variant, args.nx, args.steps)
+        out["unit"] = "steps/s"
+    elif args.worker == "ps23":
+        out["value"] = worker_ps23(args.variant, args.nx, args.steps)
+        out["unit"] = "steps/s"
+    elif args.worker == "mg":
+        dt, cycles = worker_mg(args.variant, args.nx, args.tol)
+        out.update(value=dt, unit="s", cycles=cycles)
+    else:
+        raise SystemExit(f"unknown worker {args.worker!r}")
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+def _spawn_variant(worker: str, variant: str, nx: int, steps: int,
+                   tol: float, timeout_s: float):
+    """Run one variant in a subprocess; return its result dict or an
+    error dict.  Isolation contract: a poisoned TPU client, a hang, an
+    HTTP-413 oversized compile, or an OOM in one variant must cost only
+    that variant."""
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--worker", worker, "--variant", variant,
+           "--nx", str(nx), "--steps", str(steps), "--tol", str(tol)]
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"worker": worker, "variant": variant,
+                "error": f"TIMEOUT {timeout_s:.0f}s"}
+    sys.stderr.write(p.stderr)          # pass through diagnostics
+    for line in reversed(p.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    tail = (p.stderr or "").strip().splitlines()
+    return {"worker": worker, "variant": variant,
+            "error": (tail[-1] if tail else f"rc={p.returncode}")[-300:]}
+
+
+def race(worker: str, variants, nx: int, steps: int = 0, tol: float = 0.0,
+         budget_s: float = 1500.0, variant_timeout_s: float = 840.0,
+         minimize: bool = False, results=None):
+    """Race variants in per-variant subprocesses; return (best, name).
+
+    budget_s: once one variant has been measured, stop racing when the
+    elapsed time exceeds the budget — cold remote compiles run minutes
+    each and the headline must be emitted before any driver timeout."""
+    t_start = time.perf_counter()
+    best, best_name = None, None
+    for v in variants:
+        name = _variant_name(worker, *v.split(",")) if worker != "mg" else v
+        if best_name is not None and \
+                time.perf_counter() - t_start > budget_s:
+            print(f"# {worker} race budget exhausted "
+                  f"({time.perf_counter() - t_start:.0f}s > {budget_s:.0f}s)"
+                  "; emitting best so far", file=sys.stderr)
+            break
+        r = _spawn_variant(worker, v, nx, steps, tol, variant_timeout_s)
+        if results is not None:
+            results.append(r)
+        if "error" in r:
+            print(f"# {worker} {nx}^2 {name} failed: {r['error']}",
+                  file=sys.stderr)
             continue
-        print(f"# multigrid {nx}^2 fused={fused} fmg={fmg}: {dt:.3f} s "
-              f"to rms/rms0<={tol:g} ({cycles} V-cycles)", file=sys.stderr)
-        if best is None or dt < best:
-            best = dt
-    if best is None:
-        raise RuntimeError("all multigrid variants failed")
-    return best
+        val = r["value"]
+        extra = f" ({r['cycles']} V-cycles)" if "cycles" in r else ""
+        print(f"# {worker} {nx}^2 {name}: {val:.4g} {r['unit']}{extra}",
+              file=sys.stderr)
+        if best is None or (val < best if minimize else val > best):
+            best, best_name = val, name
+    return best, best_name
+
+
+def _save_results(payload):
+    try:
+        os.makedirs(os.path.dirname(RESULTS_JSON), exist_ok=True)
+        with open(RESULTS_JSON, "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError as e:
+        print(f"# could not save {RESULTS_JSON}: {e}", file=sys.stderr)
 
 
 def main(argv=None):
@@ -260,7 +314,24 @@ def main(argv=None):
     ap.add_argument("--nx", type=int, default=1024,
                     help="cavity grid override (debug/CPU smoke only; the "
                          "headline metric is defined at 1024)")
+    ap.add_argument("--steps", type=int, default=0,
+                    help="scan-window length override (0 = default)")
+    ap.add_argument("--tol", type=float, default=1e-5,
+                    help="multigrid solve tolerance (rms/rms0)")
+    ap.add_argument("--ps-nx", type=int, default=2048,
+                    help="ps23 secondary grid override (CPU smoke only)")
+    ap.add_argument("--mg-nx", type=int, default=4096,
+                    help="multigrid secondary grid override (CPU smoke)")
+    ap.add_argument("--worker", default=None,
+                    help="internal: run one variant in-process")
+    ap.add_argument("--variant", default=None)
+    ap.add_argument("--budget", type=float, default=1500.0,
+                    help="cavity race budget, seconds")
+    ap.add_argument("--variant-timeout", type=float, default=840.0)
     args = ap.parse_args(argv)
+
+    if args.worker:
+        return run_worker(args)
 
     if not _probe_devices(args.probe_attempts, args.probe_timeout):
         _emit(0.0, 0.0, error="device backend unavailable "
@@ -268,25 +339,18 @@ def main(argv=None):
               "remote TPU tunnel likely down)")
         return 0
 
-    # Persistent bench compile cache (separate from the test cache) +
-    # reliable JAX_PLATFORMS handling — see cfd_julia_tpu.jaxconfig.
-    import jax
-    from cfd_julia_tpu.jaxconfig import configure_jax
-
-    configure_jax(cache_dir="~/.cache/jax_bench_cache", min_compile_secs=1.0)
-
-    dev = jax.devices()[0]
-    print(f"# device: {dev}", file=sys.stderr)
-
-    steps = 50 if args.quick else 200
+    steps = args.steps or (50 if args.quick else 1000)
     # --quick keeps its one-compile-one-number contract: only the proven
     # fst variant; the full run races every formulation
-    variants = (("fst", "highest", "xla"),) if args.quick else CAVITY_VARIANTS
-    try:
-        cavity_sps, cavity_impl = bench_cavity(nx=args.nx, steps=steps,
-                                               variants=variants)
-    except Exception as e:
-        _emit(0.0, 0.0, error=f"cavity bench failed: {e!r:.300}")
+    variants = ("fst,highest,xla",) if args.quick else \
+        tuple(",".join(v) for v in CAVITY_VARIANTS)
+    all_results = []
+    cavity_sps, cavity_impl = race(
+        "cavity", variants, args.nx, steps=steps, budget_s=args.budget,
+        variant_timeout_s=args.variant_timeout, results=all_results)
+    if cavity_sps is None:
+        _emit(0.0, 0.0, error="all cavity Poisson variants failed")
+        _save_results({"results": all_results})
         return 0
     print(f"# cavity {args.nx}^2 fp32 best={cavity_impl}: "
           f"{cavity_sps:.1f} steps/s", file=sys.stderr)
@@ -296,28 +360,49 @@ def main(argv=None):
     # consumer can record it as the 1024^2 number, and --quick is marked
     metric = HEADLINE_METRIC if args.nx == 1024 \
         else f"cavity_{args.nx}_steps_per_sec"
-    extra = {"baseline_steps_per_sec": "6.5 (measured-anchored, range 5-8; "
-             "see BASELINE.md)", "poisson_impl": cavity_impl}
+    extra = {"baseline_steps_per_sec": "5.0 (direct cavity-algorithm "
+             "measurement, Julia range ~1-4.9; see BASELINE.md)",
+             "poisson_impl": cavity_impl}
     if args.quick:
         extra["quick"] = True
     _emit(round(cavity_sps, 2),
           round(cavity_sps / JULIA_BASELINE_STEPS_PER_SEC, 1),
           metric=metric, **extra)
 
+    summary = {"cavity_steps_per_sec": round(cavity_sps, 2),
+               "cavity_impl": cavity_impl, "nx": args.nx, "steps": steps}
     if args.quick:
+        _save_results({"summary": summary, "results": all_results})
         return 0
-    try:
-        ps_sps, ps_impl = bench_pseudospectral()
-        print(f"# pseudospectral 2048^2 fp32 best={ps_impl}: "
+
+    ps_sps, ps_impl = race(
+        "ps23", tuple(",".join(v) for v in PS_VARIANTS), args.ps_nx,
+        steps=100, budget_s=900.0, variant_timeout_s=args.variant_timeout,
+        results=all_results)
+    if ps_sps is not None:
+        print(f"# pseudospectral {args.ps_nx}^2 fp32 best={ps_impl}: "
               f"{ps_sps:.1f} steps/s", file=sys.stderr)
-    except Exception as e:  # secondary metric must not break the headline
-        print(f"# pseudospectral bench failed: {e}", file=sys.stderr)
-    try:
-        mg_s = bench_multigrid()
-        print(f"# multigrid 4096^2 fp32, 10 V-cycles: {mg_s:.3f} s",
+        summary[f"ps23_{args.ps_nx}_steps_per_sec"] = round(ps_sps, 2)
+        summary["ps23_impl"] = ps_impl
+    else:
+        print("# pseudospectral bench failed (all variants)",
               file=sys.stderr)
-    except Exception as e:
-        print(f"# multigrid bench failed: {e}", file=sys.stderr)
+
+    mg_s, mg_impl = race(
+        "mg", tuple(",".join(v) for v in MG_VARIANTS), args.mg_nx,
+        tol=args.tol, budget_s=900.0,
+        variant_timeout_s=args.variant_timeout,
+        minimize=True, results=all_results)
+    if mg_s is not None:
+        print(f"# multigrid {args.mg_nx}^2 fp32 solve to "
+              f"rms/rms0<={args.tol:g} best={mg_impl}: {mg_s:.3f} s",
+              file=sys.stderr)
+        summary[f"mg_{args.mg_nx}_solve_s"] = round(mg_s, 4)
+        summary["mg_impl"] = mg_impl
+    else:
+        print("# multigrid bench failed (all variants)", file=sys.stderr)
+
+    _save_results({"summary": summary, "results": all_results})
     return 0
 
 

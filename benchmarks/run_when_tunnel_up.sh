@@ -26,8 +26,8 @@ echo "== 2. candidate microbench (small sizes first) =="
 timeout 1800 python benchmarks/tpu_microbench.py --sizes small 2>&1 \
     | tee "$OUT/microbench_small_$STAMP.log"
 
-echo "== 3. TPU smoke tier =="
-CFD_TPU_SMOKE=1 timeout 3600 python -m pytest tests/test_tpu_smoke.py -q 2>&1 \
+echo "== 3. TPU smoke tier (per-test subprocess isolation) =="
+timeout 7200 python benchmarks/run_tpu_smoke.py 2>&1 \
     | tee "$OUT/tpu_smoke_$STAMP.log"
 
 echo "== 4. candidate microbench (north-star sizes) =="

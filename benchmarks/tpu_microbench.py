@@ -29,23 +29,65 @@ from cfd_julia_tpu.jaxconfig import configure_jax  # noqa: E402
 configure_jax(cache_dir="~/.cache/jax_bench_cache", min_compile_secs=1.0)
 
 
+_DISPATCH_OVERHEAD_S = None
+
+
+def _dispatch_overhead():
+    """Per-call dispatch+sync latency through the (possibly remote)
+    backend: min over 10 reps of running a trivial jitted program and
+    pulling its scalar to the host.  Measured once per process.
+
+    Round-2 post-mortem: at iters=10-50 this overhead (tens of ms through
+    the axon tunnel) inflated every per-iteration number — e.g. the
+    microbench read cavity_fst 3.51 ms/step while the 200-step full bench
+    read 1.85 ms/step, and restrict round trips read 33-52 ms for a
+    ~67 MB pass.  Rankings were unaffected (the overhead is a constant
+    shift per window), but absolute ms were not comparable to bench.py.
+    Subtracting the measured overhead makes them comparable."""
+    global _DISPATCH_OVERHEAD_S
+    if _DISPATCH_OVERHEAD_S is None:
+        trivial = jax.jit(lambda v: v * 1.000001 + 1e-7)
+        v = jnp.float32(1.0)
+        v = trivial(v)
+        float(v)                      # warm compile + first round trip
+        best = float("inf")
+        for _ in range(10):
+            t0 = time.perf_counter()
+            v = trivial(v)            # new input each rep: not cacheable
+            float(v)
+            best = min(best, time.perf_counter() - t0)
+        _DISPATCH_OVERHEAD_S = best
+        print(json.dumps({"bench": "dispatch_overhead",
+                          "ms": round(best * 1e3, 4)}), flush=True)
+    return _DISPATCH_OVERHEAD_S
+
+
 def timed(name, fn, x, iters=20, repeats=3, consts=None):
-    """Time `iters` applications of fn under one scan; min over repeats.
+    """Time `iters` applications of fn under one scan; min over repeats;
+    the per-call dispatch overhead (measured once) is subtracted so the
+    per-iteration ms is window-length independent.
 
     Big non-carried arrays MUST go through `consts` (fn then takes
     (carry, consts)): closed-over arrays are embedded as constants in
     the compiled program, and at 4096^2 the serialized compile request
     blows past the remote tunnel's body limit (HTTP 413 — observed for
     the V-cycle family whose closures held ~270 MB of masks)."""
+    def checksum(out):
+        # ONE fused scalar: per-leaf host pulls are separate dispatches,
+        # each paying the tunnel round trip inside the timed region
+        return sum(jnp.abs(a).sum().astype(jnp.float32)
+                   for a in jax.tree.leaves(out))
+
     if consts is None:
-        run = jax.jit(lambda x0: lax.scan(
-            lambda c, _: (fn(c), 0.0), x0, None, length=iters)[0])
+        run = jax.jit(lambda x0: (lambda o: (o, checksum(o)))(lax.scan(
+            lambda c, _: (fn(c), 0.0), x0, None, length=iters)[0]))
     else:
-        base = jax.jit(lambda x0, cs: lax.scan(
-            lambda c, _: (fn(c, cs), 0.0), x0, None, length=iters)[0])
+        base = jax.jit(lambda x0, cs: (lambda o: (o, checksum(o)))(lax.scan(
+            lambda c, _: (fn(c, cs), 0.0), x0, None, length=iters)[0]))
         run = lambda x0: base(x0, consts)
-    out = run(x)                     # compile + warm
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+    ov = _dispatch_overhead()
+    out, chk = run(x)                # compile + warm
+    float(chk)
     best = float("inf")
     for r in range(repeats):
         # ADDITIVE perturbation: multiplicative is a no-op on all-zero
@@ -55,12 +97,13 @@ def timed(name, fn, x, iters=20, repeats=3, consts=None):
         xr = jax.tree.map(lambda a: a + jnp.asarray(eps, a.dtype), x)
         float(jnp.abs(jax.tree.leaves(xr)[0].ravel()[0]))  # sync the perturb
         t0 = time.perf_counter()
-        out = run(xr)
-        s = sum(float(jnp.abs(a).sum()) for a in jax.tree.leaves(out))
-        dt = (time.perf_counter() - t0) / iters
+        out, chk = run(xr)
+        s = float(chk)
+        dt = (time.perf_counter() - t0 - ov) / iters
         best = min(best, dt)
         assert np.isfinite(s), name
-    print(json.dumps({"bench": name, "ms": round(best * 1e3, 4)}),
+    print(json.dumps({"bench": name, "ms": round(best * 1e3, 4),
+                      "overhead_ms": round(ov * 1e3, 3)}),
           flush=True)
     return best
 
@@ -140,9 +183,14 @@ def bench_mg_vcycle(n):
     from cfd_julia_tpu.models import poisson2d
     from cfd_julia_tpu.poisson import multigrid
 
-    combos = [("conv", "xla", "off"), ("conv", "pallas", "off"),
-              ("matmul", "pallas", "off"), ("reshape", "pallas", "off"),
-              ("conv", "pallas", "on"), ("conv", "xla", "on")]
+    # measured-winner family first (vcycle_matmul_pallas_off 18.2 ms at
+    # 4096^2); XLA-smoother combos only below the remote-compile body
+    # limit (4096^2 XLA forms die with HTTP 413)
+    combos = [("matmul", "pallas", "off"), ("matmul", "pallas", "on"),
+              ("conv", "pallas", "off"), ("reshape", "pallas", "off"),
+              ("conv", "pallas", "on")]
+    if n <= 1024:
+        combos += [("conv", "xla", "off"), ("matmul", "xla", "off")]
     for transfers, smoother, fused in combos:
             mgc = multigrid.MGConfig(tol=1e-30, max_cycles=1,
                                      transfers=transfers, fused=fused)
@@ -192,6 +240,41 @@ def bench_cavity(n):
         timed(f"cavity_{tag}_{n}", step,
               (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32)),
               iters=50)
+
+
+def bench_cavity_parts(n):
+    """Component breakdown of the cavity step at the headline size: the
+    Poisson solve, the Arakawa RHS, and the BC-assembly/stage-combine
+    remainder are timed separately (overhead-corrected), so the 'where
+    does the step time go' question has a measured answer."""
+    from cfd_julia_tpu.models import cavity
+    from cfd_julia_tpu.ops import arakawa
+    from cfd_julia_tpu.poisson import direct
+
+    rng = np.random.default_rng(11)
+    dx = 1.0 / n
+    w = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((n + 1, n + 1)), jnp.float32)
+    sc = 1e-3
+    for impl in ("rfft", "half", "matmul", "half_mxu"):
+        timed(f"cavpart_solve_{impl}_{n}",
+              lambda x, i=impl: sc * direct.solve_fst(x, dx, dx, impl=i),
+              w, iters=20)
+    timed(f"cavpart_solve_densemm_{n}",
+          lambda x: sc * direct.solve_fst_matmul_padded(x, n, n, dx, dx),
+          w, iters=20)
+    timed(f"cavpart_rhs_{n}",
+          lambda ws: (ws[0] + 1e-9 * arakawa.vorticity_rhs(
+              ws[0], ws[1], dx, dx, 100.0), ws[1]), (w, s), iters=20)
+    timed(f"cavpart_bc_assemble_{n}",
+          lambda ws: (sc * cavity.assemble_with_wall_bc(
+              ws[0][1:-1, 1:-1], ws[1], dx, dx), ws[1]), (w, s), iters=20)
+    cfg = cavity.CavityConfig(nx=n, ny=n, dt=2e-5, poisson="fst")
+    step = cavity.make_step_fn(cfg)
+    timed(f"cavpart_fullstep_fst_{n}", step,
+          (jnp.zeros((n + 1, n + 1), jnp.float32),
+           jnp.zeros((n + 1, n + 1), jnp.float32),
+           jnp.zeros((), jnp.float32)), iters=50)
 
 
 def bench_ps23(n):
@@ -339,6 +422,7 @@ def main():
     # should cost the least informative families first
     jobs = [
         ("cavity", bench_cavity, 256 if small else 1024),
+        ("cavity_parts", bench_cavity_parts, 256 if small else 1024),
         ("ps23", bench_ps23, 256 if small else 2048),
         ("mg_vcycle", bench_mg_vcycle, 512 if small else 4096),
         ("mg_edges", bench_mg_edges, 512 if small else 4096),

@@ -18,6 +18,20 @@ import sys
 
 
 def _parse_value(field_type, raw: str):
+    """Parse a CLI override honoring the declared dataclass field type
+    (string annotations under `from __future__ import annotations`):
+    a str-typed field keeps "32" as a string (solver/bc names), an
+    int/float field parses numerically; untyped falls back to inference."""
+    tname = field_type if isinstance(field_type, str) else \
+        getattr(field_type, "__name__", "")
+    if tname == "str":
+        return raw
+    if tname == "bool":
+        return raw.lower() in ("1", "true", "yes", "on")
+    if tname == "int":
+        return int(raw)
+    if tname == "float":
+        return float(raw)
     for cast in (int, float):
         try:
             v = cast(raw)
@@ -96,9 +110,16 @@ def cmd_run(args, extra):
             # (weno_dirichlet.jl:158 writes solution_d_$nx.txt,
             # fft_p.jl:110 output_$nx.txt — the reference's order.jl
             # readers expect the suffix names side by side)
-            vals = [str(v) for v in pt.values()]
-            # reference files carry a single grid suffix (output_$nx.txt)
-            suffix = vals[0] if len(set(vals)) == 1 else "_".join(vals)
+            if set(pt) <= {"nx", "ny"}:
+                # reference files carry a single grid suffix
+                # (output_$nx.txt); bare values only for grid sweeps
+                vals = [str(v) for v in pt.values()]
+                suffix = vals[0] if len(set(vals)) == 1 else "_".join(vals)
+            else:
+                # non-grid sweeps (e.g. re=100,1000) embed the key so the
+                # aliases cannot collide with the reference's grid-suffix
+                # convention (output_100.txt vs output_re100.txt)
+                suffix = "_".join(f"{k}{v}" for k, v in pt.items())
             for fn in sorted(os.listdir(sub)):
                 base, ext = os.path.splitext(fn)
                 if ext in (".txt", ".csv") and base.startswith(
@@ -157,7 +178,17 @@ def cmd_validate(_args):
     r = heat1d.solve(heat1d.HeatConfig(scheme="icp"))
     check("heat icp L2", float(r.l2_error), 1e-5)
     rb = burgers1d.solve(burgers1d.BurgersConfig(nx=200, t_final=0.25))
-    check("burgers finite/bounded", float(abs(np.asarray(rb.u)).max()) - 1.0, 0.05)
+    u0, uf = np.asarray(rb.snapshots[0]), np.asarray(rb.u)
+    tv = lambda a: np.abs(np.diff(np.append(a, a[0]))).sum()
+    # WENO is essentially non-oscillatory: total variation must not grow
+    # through the shock (a much stronger property than boundedness)
+    check("burgers weno TV growth", float(tv(uf) - tv(u0)), 0.01)
+    rbc = burgers1d.solve(burgers1d.BurgersConfig(nx=200, t_final=0.25,
+                                                  solver="rusanov"))
+    # conservative (flux-form) solver: cell mean is conserved to roundoff
+    drift = abs(float(np.asarray(rbc.u).mean())
+                - float(np.asarray(rbc.snapshots[0]).mean()))
+    check("burgers rusanov mass drift", drift, 1e-5)
     re_ = euler1d.solve(euler1d.EulerConfig(nx=256))
     rho = np.asarray(re_.q[0])
     check("euler sod rho positivity", float(-(rho.min())), 0.0 + 1e-12)

@@ -205,10 +205,10 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
         def rhs_interior(w, s):
             return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
-    if mesh is not None and cfg.poisson != "fst":
+    if mesh is not None and cfg.poisson not in ("fst", "fst_half"):
         raise ValueError(
             f"poisson={cfg.poisson!r} is single-device only; the mesh-"
-            "aware step uses poisson='fst' (pencil DST) or "
+            "aware step uses poisson='fst'/'fst_half' (pencil DST) or "
             "make_padded_step_fn (matmul DST with native sharding)")
     if cfg.poisson in ("matmul", "matmul_bf16x3"):
         # padded solver on the exact (nx+1, ny+1) shape: reads the
@@ -225,8 +225,11 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
         solve = lambda f: direct.solve_fst(f, dx, dy, impl="matmul",
                                            precision=cfg.fft_precision)
     elif cfg.poisson == "fst_half":
-        # half-length-rfft DST (FFTPACK-style pre/post passes)
-        solve = lambda f: direct.solve_fst(f, dx, dy, impl="half")
+        # half-length-rfft DST (FFTPACK-style pre/post passes); the
+        # pre/post passes are axis-local elementwise+cumsum, so the
+        # pencil constraint shards them like the rfft itself
+        solve = lambda f: direct.solve_fst(f, dx, dy, impl="half",
+                                           mesh=mesh)
     else:
         solve = lambda f: direct.solve_fst(f, dx, dy, mesh=mesh)
 

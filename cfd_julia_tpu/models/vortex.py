@@ -337,8 +337,8 @@ def _band_mask_23_half_traced(cfg: VortexConfig):
     return keep_x & (iy < nye // 2)
 
 
-def make_spectral_step_half(cfg: VortexConfig, dtype):
-    """3-stage RK3/CN step over the rfft2 half spectrum (single chip).
+def make_spectral_step_half(cfg: VortexConfig, dtype, mesh=None):
+    """3-stage RK3/CN step over the rfft2 half spectrum.
 
     Numerically identical to make_spectral_step (same operations on the
     Hermitian-redundant representation removed); validated against it in
@@ -346,11 +346,27 @@ def make_spectral_step_half(cfg: VortexConfig, dtype):
 
     All solver constants are computed inside the traced step (iota +
     elementwise) — embedded-literal constants made 2048^2 compile
-    requests ~270 MB through the remote tunnel (_half_consts_traced)."""
+    requests ~270 MB through the remote tunnel (_half_consts_traced).
+
+    mesh: multi-chip pencil decomposition — every transform is made
+    axis-local via sharding constraints (spectral.rfft2/ifft2), the
+    pack_hermitian_pair concats/flips partition natively, and the
+    elementwise stage math keeps the field sharding.  Mesh mode requires
+    the XLA FFT + "pack" pair path (matmul FFT and rowsfirst are
+    single-device formulations)."""
     nx, ny = cfg.nx, cfg.ny
+    if mesh is not None and (cfg.fft_impl != "xla"
+                             or cfg.pair_impl != "pack"):
+        raise ValueError(
+            "mesh mode requires fft_impl='xla' and pair_impl='pack' "
+            f"(got {cfg.fft_impl!r}/{cfg.pair_impl!r})")
 
     # one home for every (fft_impl, fft_precision)-derived transform
-    if cfg.fft_impl == "matmul":
+    if mesh is not None:
+        ifft2_fn = lambda z: spectral.ifft2(z, mesh)
+        rfft2_fn = lambda x: spectral.rfft2(x, mesh)
+        ifft_rows_fn = ifft_cols_fn = None
+    elif cfg.fft_impl == "matmul":
         import functools
 
         from cfd_julia_tpu.ops import mxu_fft
@@ -472,9 +488,9 @@ def half_decode_packed(h, ny: int, dtype):
     return half_decode(spectral.unpack_c(h), ny, dtype)
 
 
-def make_spectral_step_half_packed(cfg: VortexConfig, dtype):
+def make_spectral_step_half_packed(cfg: VortexConfig, dtype, mesh=None):
     """make_spectral_step_half with real-packed state at the boundary."""
-    step = make_spectral_step_half(cfg, dtype)
+    step = make_spectral_step_half(cfg, dtype, mesh)
     return lambda h: spectral.pack_c(step(spectral.unpack_c(h)))
 
 

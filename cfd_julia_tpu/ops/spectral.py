@@ -37,16 +37,19 @@ def _constrain(x, mesh, spec):
     return lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
-def _pencil_specs(mesh):
+def _pencil_specs(mesh, ndim: int = 2):
+    """(last-axis-local, second-last-axis-local) specs for the trailing
+    two axes of an ndim array; leading (batch) axes stay replicated."""
     flat = tuple(mesh.axis_names)
-    return P(flat, None), P(None, flat)  # axis-1-local, axis-0-local
+    lead = (None,) * (ndim - 2)
+    return P(*lead, flat, None), P(*lead, None, flat)
 
 
 def fft2(x, mesh=None):
     """2D FFT over the last two axes; pencil-decomposed when mesh given."""
     if mesh is None:
         return jnp.fft.fft2(x)
-    sx, sy = _pencil_specs(mesh)
+    sx, sy = _pencil_specs(mesh, x.ndim)
     x = _constrain(x, mesh, sx)
     x = jnp.fft.fft(x, axis=-1)
     x = _constrain(x, mesh, sy)
@@ -56,11 +59,25 @@ def fft2(x, mesh=None):
 def ifft2(x, mesh=None):
     if mesh is None:
         return jnp.fft.ifft2(x)
-    sx, sy = _pencil_specs(mesh)
+    sx, sy = _pencil_specs(mesh, x.ndim)
     x = _constrain(x, mesh, sy)
     x = jnp.fft.ifft(x, axis=-2)
     x = _constrain(x, mesh, sx)
     return jnp.fft.ifft(x, axis=-1)
+
+
+def rfft2(x, mesh=None):
+    """rfft2 over the last two axes; pencil-decomposed when mesh given
+    (real rfft along the local last axis, then a complex fft along the
+    locally-resharded second-last axis — the forward half of the
+    half-spectrum solver state, multi-chip)."""
+    if mesh is None:
+        return jnp.fft.rfft2(x)
+    sx, sy = _pencil_specs(mesh, x.ndim)
+    x = _constrain(x, mesh, sx)
+    h = jnp.fft.rfft(x, axis=-1)
+    h = _constrain(h, mesh, sy)
+    return jnp.fft.fft(h, axis=-2)
 
 
 def pack_hermitian_pair(head, tail_src, n: int):
@@ -367,8 +384,18 @@ def fst_poisson_dirichlet(f_interior, dx: float, dy: float, mesh=None,
     den = (2.0 / dx**2) * (jnp.cos(jnp.pi * i / nx) - 1.0)[:, None] + (
         2.0 / dy**2
     ) * (jnp.cos(jnp.pi * j / ny) - 1.0)[None, :]
-    e = dst1_2d(f_interior, mesh, impl, precision)
-    return idst1_2d(e / den, nx, ny, mesh, impl, precision)
+    # Transform order: rows, cols | divide | cols, rows.  1D DSTs on
+    # different axes commute, so this equals dst1_2d + idst1_2d — but the
+    # two axis -2 transforms sit back to back around the elementwise
+    # divide, letting XLA cancel their moveaxis transpose pairs (one
+    # fewer relayout round trip per Poisson solve; the cavity does 3).
+    e = dst1(dst1(f_interior, axis=-1, mesh=mesh, impl=impl,
+                  precision=precision),
+             axis=-2, mesh=mesh, impl=impl, precision=precision)
+    u = dst1(dst1(e / den, axis=-2, mesh=mesh, impl=impl,
+                  precision=precision),
+             axis=-1, mesh=mesh, impl=impl, precision=precision)
+    return u / (4.0 * nx * ny)
 
 
 # ------------------------------------------------------------- dealiasing

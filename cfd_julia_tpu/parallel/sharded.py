@@ -68,6 +68,25 @@ def make_sharded_vortex_step(cfg, mesh, dtype):
     return jax.jit(step, in_shardings=(sh,), out_shardings=sh)
 
 
+def make_sharded_vortex_step_half(cfg, mesh, dtype):
+    """Sharded HALF-SPECTRUM packed step — the fast single-chip
+    formulation (real (2, nx, ny//2+1) rfft2 state, two-for-one packed
+    inverses) extended to the mesh: transforms pencil-decompose via
+    sharding constraints inside make_spectral_step_half, and the packed
+    state itself shards its kx axis over the flattened mesh."""
+    step = vortex_model.make_spectral_step_half_packed(cfg, dtype, mesh)
+    sh = packed_half_sharding(mesh)
+    return jax.jit(step, in_shardings=(sh,), out_shardings=sh)
+
+
+def packed_half_sharding(mesh):
+    """(2, nx, ny//2+1) packed half-spectrum sharding: kx axis over the
+    flattened mesh, Re/Im and ky axes replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(None, tuple(mesh.axis_names), None))
+
+
 def place(arr, mesh):
     """Place a field with the mesh's 2D sharding (shape must divide)."""
     return jax.device_put(arr, mesh_lib.field_sharding(mesh))

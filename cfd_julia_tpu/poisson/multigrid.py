@@ -181,10 +181,16 @@ def smooth(u, f, dx: float, dy: float, iters: int, masks,
     )
 
 
-def _pick_smoother(nx: int, ny: int) -> str:
+def _pick_smoother(nx: int, ny: int, backend: str | None = None) -> str:
     """Fused Pallas smoother on TPU for levels big enough to amortize the
-    kernel's DMA setup; XLA rolls elsewhere (and on CPU)."""
-    if jax.default_backend() == "tpu" and min(nx, ny) >= 512:
+    kernel's DMA setup; XLA rolls elsewhere (and on CPU).
+
+    Measured (microbench_full_20260816T213326.log, v5e): at 4096^2 the
+    only V-cycle forms that even compile remotely are the Pallas-smoother
+    ones (every XLA-smoother form exceeds the remote-compile HTTP body
+    limit: HTTP 413), and vcycle_matmul_pallas ran 18.2 ms."""
+    backend = backend or jax.default_backend()
+    if backend == "tpu" and min(nx, ny) >= 512:
         return "pallas"
     return "xla"
 
@@ -201,9 +207,10 @@ class MGConfig:
                                # (benchmarks/tpu_microbench.py measures)
     fused: str = "auto"        # auto | on | off: Pallas-fused level-edge
                                # kernels (residual+restrict descend,
-                               # prolong+correct+smooth ascend) on levels
-                               # >= _FUSED_MIN — every XLA transfer
-                               # formulation is relayout-bound on TPU
+                               # prolong+correct+smooth ascend).  auto=off:
+                               # the best measured V-cycle is the unfused
+                               # matmul-transfer form (18.2 ms @ 4096^2);
+                               # "on" stays raced in bench.py
     fmg: bool = False          # full-multigrid (nested-iteration) start:
                                # solve the homogenized problem coarsest-
                                # first, one V-cycle per level on the way
@@ -219,14 +226,22 @@ _TRANSFERS = {
 }
 
 
-def _pick_transfers(name: str):
+def _transfers_choice(name: str, backend: str | None = None) -> str:
     if name != "auto":
-        return _TRANSFERS[name]
-    # TPU: the deinterleave restriction + conv prolongation measured
-    # fastest pending the full microbench; CPU: the conv pair.
-    if jax.default_backend() == "tpu":
-        return _TRANSFERS["reshape"]
-    return _TRANSFERS["conv"]
+        return name
+    # TPU: the MXU matmul pair measured fastest at the north-star size
+    # (microbench_full_20260816T213326.log @ 4096^2: restrict_matmul
+    # 33.6 ms < conv 45.4 < reshape 51.6; prolong_matmul 23.8 < conv 54.0;
+    # and in full-V-cycle context vcycle_matmul_pallas 18.2 ms vs
+    # vcycle_conv_pallas 220.5 ms).  CPU: the conv pair.
+    # benchmarks/results/winners.json records these; a test asserts this
+    # function agrees with it.
+    return "matmul" if (backend or jax.default_backend()) == "tpu" \
+        else "conv"
+
+
+def _pick_transfers(name: str, backend: str | None = None):
+    return _TRANSFERS[_transfers_choice(name, backend)]
 
 
 def _build_levels(nx, ny, dx, dy, n_levels):
@@ -253,8 +268,12 @@ def _use_fused(cfg: MGConfig, nx: int, ny: int, halo_rows: int) -> bool:
         return False               # sweeps exceed the halo guard
     if cfg.fused == "on":
         return True
-    return (cfg.fused == "auto" and jax.default_backend() == "tpu"
-            and min(nx, ny) >= _FUSED_MIN)
+    # "auto" = off: the best MEASURED V-cycle on chip is the unfused
+    # matmul-transfer + Pallas-smoother form (18.2 ms @ 4096^2); the fused
+    # level edges have no on-chip V-cycle win recorded yet (the fused
+    # combos hit the microbench family timeout).  bench.py races
+    # fused="on" so a measured win can flip this default.
+    return False
 
 
 def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):

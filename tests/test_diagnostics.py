@@ -51,6 +51,25 @@ def test_invariants_analytic_tgv():
     np.testing.assert_allclose(e, z / (2 * k**2), rtol=1e-10)
 
 
+def test_invariants_anisotropic_domain():
+    """Non-square domain (Lx = 2pi, Ly = 4pi): w = sin(2 ky y) with
+    physical wavenumber ky = 2pi m / Ly must give P = ky^2 * 2Z... i.e.
+    per-axis wavenumber scaling (regression for the single-scale bug:
+    using 2pi/(nx dx) for both axes was wrong whenever nx dx != ny dy)."""
+    nx, ny, m = 64, 64, 3
+    dx = 2 * np.pi / nx          # Lx = 2 pi
+    dy = 4 * np.pi / ny          # Ly = 4 pi
+    ky = 2 * np.pi * m / (ny * dy)
+    y = jnp.arange(ny) * dy
+    w = jnp.broadcast_to(jnp.sin(ky * y)[None, :], (nx, ny))
+    e, z, p = (float(v) for v in diagnostics.invariants(w, dx, dy))
+    w_np = np.asarray(w)
+    z_quad = 0.5 * (w_np**2).sum() * dx * dy
+    np.testing.assert_allclose(z, z_quad, rtol=1e-10)
+    np.testing.assert_allclose(p, ky**2 * z, rtol=1e-10)
+    np.testing.assert_allclose(e, z / ky**2, rtol=1e-10)
+
+
 def test_enstrophy_budget_matches_solver_decay():
     """dZ/dt from the ps23 solver over a short window matches -2 nu P to
     leading order (the 2D enstrophy budget)."""

@@ -153,3 +153,43 @@ def test_distributed_burgers_weno_rhs():
     out = rhs(us)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("solver", ["ps23", "ps32", "hybrid"])
+def test_sharded_half_packed_step_matches(mesh2d, solver):
+    """The HALF-SPECTRUM packed step (the fast formulation) under the
+    mesh (pencil rfft2/ifft2, sharded packed state) matches the
+    single-device half-packed step."""
+    cfg = vortex_model.VortexConfig(nx=32, ny=32, solver=solver, dt=5e-3)
+    dtype = jnp.float64
+    w0 = vortex_model.initial_vorticity(cfg, dtype)
+    h0 = jax.jit(vortex_model.half_init_packed)(w0)
+
+    ref_step = vortex_model.make_spectral_step_half_packed(cfg, dtype)
+    ref = ref_step(ref_step(h0))
+
+    step_sh = sharded.make_sharded_vortex_step_half(cfg, mesh2d, dtype)
+    h = jax.device_put(h0, sharded.packed_half_sharding(mesh2d))
+    out = step_sh(step_sh(h))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_cavity_fst_half_matches(mesh2d):
+    """poisson='fst_half' under the mesh (pencil half-length DST) matches
+    the single-device step."""
+    cfg = cavity_model.CavityConfig(nx=32, ny=32, poisson="fst_half")
+    w0 = jnp.zeros((33, 33))
+    ref_step = cavity_model.make_step_fn(cfg)
+    ref = (w0, jnp.zeros_like(w0), jnp.zeros(()))
+    for _ in range(3):
+        ref = ref_step(ref)
+
+    step_m = jax.jit(cavity_model.make_step_fn(cfg, mesh=mesh2d))
+    st = (w0, jnp.zeros_like(w0), jnp.zeros(()))
+    for _ in range(3):
+        st = step_m(st)
+    np.testing.assert_allclose(np.asarray(st[0]), np.asarray(ref[0]),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st[1]), np.asarray(ref[1]),
+                               rtol=1e-10, atol=1e-12)

@@ -193,3 +193,34 @@ def test_cavity_wall_bc():
     out = np.asarray(cavity.apply_wall_bc(jnp.asarray(w), jnp.asarray(s),
                                           dx, dy, 2))
     np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-14)
+
+
+def test_numpy_cavity_port_matches_model():
+    """The baseline-denominator port (benchmarks/reference_cavity_numpy.py,
+    the measured stand-in for lid_driven_cavity.jl) computes the exact
+    same trajectory as the JAX cavity model — so its measured steps/s is
+    the reference algorithm's, not an approximation of it."""
+    import importlib
+    import pathlib
+    import sys
+
+    bench_dir = str(pathlib.Path(__file__).parent.parent / "benchmarks")
+    if bench_dir not in sys.path:
+        sys.path.insert(0, bench_dir)
+    rcn = importlib.import_module("reference_cavity_numpy")
+
+    import jax
+
+    nx = 32
+    cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=1e-3)
+    step = jax.jit(cavity.make_step_fn(cfg))
+    st = (jnp.zeros((nx + 1, nx + 1)), jnp.zeros((nx + 1, nx + 1)),
+          jnp.zeros(()))
+    w = np.zeros((nx + 1, nx + 1))
+    s = np.zeros_like(w)
+    den = rcn.make_eigen_den(nx, nx, cfg.dx, cfg.dy)
+    for _ in range(5):
+        st = step(st)
+        w, s = rcn.step(w, s, cfg.dx, cfg.dy, cfg.dt, cfg.re, den)
+    np.testing.assert_allclose(np.asarray(st[0]), w, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st[1]), s, rtol=0, atol=1e-15)
