@@ -53,6 +53,14 @@ def bench_point(nx: int, ndev: int):
                      .astype(jnp.complex64)), mesh)
     timed(f"sharded_ps23_{nx}_dev{ndev}", vstep, wf0)
 
+    # the half-spectrum packed fast path (round-3 mesh extension)
+    hstep = sharded.make_sharded_vortex_step_half(vcfg, mesh, jnp.float32)
+    h0 = jax.device_put(
+        jax.jit(vortex.half_init_packed)(
+            vortex.initial_vorticity(vcfg, jnp.float32)),
+        sharded.packed_half_sharding(mesh))
+    timed(f"sharded_ps23_half_{nx}_dev{ndev}", hstep, h0)
+
 
 def main():
     ap = argparse.ArgumentParser()

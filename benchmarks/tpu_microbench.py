@@ -446,13 +446,17 @@ def main():
     # unsupported op poisons the whole TPU client (afterwards even iota
     # fails) and some failure modes HANG instead of erroring — in-process
     # sequencing loses every later family (round-2 microbench post-mortem).
+    # Pallas-kernel families compile for minutes-per-program remotely and
+    # hit the default timeout in round 2 (VERDICT weak #5) — larger caps.
+    extra_time = {"pallas_rhs": 3000, "euler": 3000, "mg_vcycle": 2400}
     import subprocess
     for name, _, _ in jobs:
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--sizes", args.sizes, "--only", name],
-                timeout=args.family_timeout, text=True, capture_output=True)
+                timeout=max(args.family_timeout, extra_time.get(name, 0)),
+                text=True, capture_output=True)
             sys.stdout.write(p.stdout)
             if p.returncode != 0:
                 tail = (p.stderr or "").strip().splitlines()
@@ -464,7 +468,7 @@ def main():
                              if isinstance(e.stdout, bytes)
                              else (e.stdout or ""))
             print(json.dumps({"bench": name,
-                              "error": f"TIMEOUT {args.family_timeout}s"}),
+                              "error": f"TIMEOUT {e.timeout:.0f}s"}),
                   flush=True)
 
 

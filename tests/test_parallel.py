@@ -193,3 +193,22 @@ def test_sharded_cavity_fst_half_matches(mesh2d):
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(st[1]), np.asarray(ref[1]),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_weak_scaling_device_counts_agree():
+    """The sharded fast-path step produces the same trajectory on 1-, 2-,
+    4- and 8-device meshes (the correctness half of the weak-scaling
+    harness, benchmarks/multichip_scaling.py)."""
+    cfg = vortex_model.VortexConfig(nx=32, ny=32, solver="ps23", dt=5e-3)
+    dtype = jnp.float64
+    w0 = vortex_model.initial_vorticity(cfg, dtype)
+    h0 = jax.jit(vortex_model.half_init_packed)(w0)
+    outs = {}
+    for ndev in (1, 2, 4, 8):
+        mesh = mesh_lib.make_mesh(jax.devices()[:ndev])
+        step = sharded.make_sharded_vortex_step_half(cfg, mesh, dtype)
+        h = jax.device_put(h0, sharded.packed_half_sharding(mesh))
+        outs[ndev] = np.asarray(step(step(h)))
+    for ndev in (2, 4, 8):
+        np.testing.assert_allclose(outs[ndev], outs[1],
+                                   rtol=1e-10, atol=1e-12)
