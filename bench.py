@@ -65,13 +65,15 @@ def _emit(value, vs_baseline, metric=HEADLINE_METRIC, **extra):
     }), flush=True)
 
 
-def _probe_devices(attempts: int = 3, timeout_s: int = 180) -> bool:
-    """Check device availability in a *subprocess* with a hard timeout.
+def _probe_devices(attempts: int = 3, timeout_s: int = 180) -> str | None:
+    """Check device availability in a *subprocess* with a hard timeout;
+    returns the platform name, or None when unavailable.
 
     jax.devices() through the remote-TPU tunnel can hang indefinitely when
     the tunnel is down (this killed the round-1 artifact, BENCH_r01 rc=1);
-    an in-process try/except cannot bound that.  Bounded retry with backoff
-    rides out transient tunnel flaps.
+    an in-process try/except cannot bound that — and the orchestrator
+    process must NEVER touch the backend itself.  Bounded retry with
+    backoff rides out transient tunnel flaps.
     """
     for i in range(attempts):
         try:
@@ -86,9 +88,9 @@ def _probe_devices(attempts: int = 3, timeout_s: int = 180) -> bool:
                 capture_output=True, text=True, timeout=timeout_s,
             )
             if r.returncode == 0:
-                print(f"# device probe ok: {r.stdout.strip()}",
-                      file=sys.stderr)
-                return True
+                platform = r.stdout.strip().splitlines()[-1]
+                print(f"# device probe ok: {platform}", file=sys.stderr)
+                return platform
             print(f"# device probe attempt {i+1} rc={r.returncode}: "
                   f"{r.stderr.strip()[-300:]}", file=sys.stderr)
         except subprocess.TimeoutExpired:
@@ -96,7 +98,7 @@ def _probe_devices(attempts: int = 3, timeout_s: int = 180) -> bool:
                   file=sys.stderr)
         if i < attempts - 1:
             time.sleep(10 * (i + 1))
-    return False
+    return None
 
 
 def _timed_scan(step, state, steps: int, sync):
@@ -297,11 +299,42 @@ def race(worker: str, variants, nx: int, steps: int = 0, tol: float = 0.0,
 
 def _save_results(payload):
     try:
+        payload = {"measured_at_utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **payload}
         os.makedirs(os.path.dirname(RESULTS_JSON), exist_ok=True)
         with open(RESULTS_JSON, "w") as fh:
             json.dump(payload, fh, indent=1)
     except OSError as e:
         print(f"# could not save {RESULTS_JSON}: {e}", file=sys.stderr)
+
+
+def _emit_cached_or_error(error: str) -> None:
+    """Tunnel-down fallback: emit the most recent ON-CHIP battery result
+    (benchmarks/results/bench_last.json, written by every successful full
+    run — e.g. the tunnel watcher's) clearly marked as cached, instead of
+    a 0.0 that erases real measurements from the round's record.
+    Provenance fields make the caching unambiguous to any consumer."""
+    try:
+        with open(RESULTS_JSON) as fh:
+            last = json.load(fh)
+        summary = last.get("summary") or {}
+        val = summary.get("cavity_steps_per_sec")
+        if val and summary.get("nx") == 1024 \
+                and summary.get("platform") not in (None, "cpu"):
+            _emit(val, round(val / JULIA_BASELINE_STEPS_PER_SEC, 1),
+                  cached=True,
+                  measured_at_utc=last.get("measured_at_utc"),
+                  poisson_impl=summary.get("cavity_impl"),
+                  note="device unavailable at capture time; value is the "
+                       "most recent on-chip battery this round "
+                       "(benchmarks/results/bench_last.json)",
+                  capture_error=error,
+                  **{k: v for k, v in summary.items()
+                     if k.startswith(("ps23_", "mg_"))})
+            return
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
+    _emit(0.0, 0.0, error=error)
 
 
 def main(argv=None):
@@ -333,10 +366,12 @@ def main(argv=None):
     if args.worker:
         return run_worker(args)
 
-    if not _probe_devices(args.probe_attempts, args.probe_timeout):
-        _emit(0.0, 0.0, error="device backend unavailable "
-              f"(probe timed out/failed {args.probe_attempts}x; "
-              "remote TPU tunnel likely down)")
+    platform = _probe_devices(args.probe_attempts, args.probe_timeout)
+    if platform is None:
+        _emit_cached_or_error(
+            "device backend unavailable "
+            f"(probe timed out/failed {args.probe_attempts}x; "
+            "remote TPU tunnel likely down)")
         return 0
 
     steps = args.steps or (50 if args.quick else 1000)
@@ -370,7 +405,8 @@ def main(argv=None):
           metric=metric, **extra)
 
     summary = {"cavity_steps_per_sec": round(cavity_sps, 2),
-               "cavity_impl": cavity_impl, "nx": args.nx, "steps": steps}
+               "cavity_impl": cavity_impl, "nx": args.nx, "steps": steps,
+               "platform": platform}
     if args.quick:
         _save_results({"summary": summary, "results": all_results})
         return 0
