@@ -15,6 +15,7 @@ from collections import OrderedDict
 FAMILIES = OrderedDict([
     ("fft2", "raw 2D transform race"),
     ("fst", "DST-I Poisson solve"),
+    ("cavpart", "cavity step component breakdown"),
     ("cavity", "cavity step"),
     ("ps23", "ps23 step"),
     ("restrict", "MG restriction (+conv prolong round trip)"),

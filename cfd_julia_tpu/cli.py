@@ -146,18 +146,14 @@ def cmd_bench(args):
         os.path.abspath(__file__))))
     import bench as bench_mod  # repo-root bench
 
-    if args.nx:
-        variants = (bench_mod.CAVITY_VARIANTS[:1] if args.quick
-                    else bench_mod.CAVITY_VARIANTS)
-        sps, impl = bench_mod.bench_cavity(nx=args.nx, steps=args.steps,
-                                           variants=variants)
-        print(json.dumps({"metric": f"cavity_{args.nx}_steps_per_sec",
-                          "value": round(sps, 2), "unit": "steps/s",
-                          "poisson_impl": impl}))
-        return 0
-    # explicit empty argv: bench_mod.main parses sys.argv otherwise, which
+    # explicit argv: bench_mod.main parses sys.argv otherwise, which
     # still holds this CLI's subcommand and errors
-    return bench_mod.main(["--quick"] if args.quick else [])
+    argv = ["--quick"] if args.quick else []
+    if args.nx:
+        argv += ["--nx", str(args.nx)]
+    if args.steps:
+        argv += ["--steps", str(args.steps)]
+    return bench_mod.main(argv)
 
 
 def cmd_validate(_args):
