@@ -47,9 +47,13 @@ import subprocess
 import sys
 import time
 
-# measured-anchored Julia estimate: upper bound of the ~1-4.9 steps/s
-# range derived from the direct cavity-algorithm measurement (docstring)
+# measured-anchored Julia estimates: upper bounds of the ranges derived
+# from the direct algorithm measurements (docstring + BASELINE.md r3):
+# cavity 1024^2 measured 0.80-0.97 NumPy steps/s -> Julia ~1-4.9;
+# ps23 2048^2 measured 0.11 NumPy steps/s (6.87 s/step of complex
+# transforms + 2.18 s elementwise) -> Julia 0.15-0.30.
 JULIA_BASELINE_STEPS_PER_SEC = 5.0
+PS23_BASELINE_STEPS_PER_SEC = 0.35
 HEADLINE_METRIC = "cavity_1024_steps_per_sec"
 RESULTS_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "results", "bench_last.json")
@@ -420,10 +424,15 @@ def main(argv=None):
         steps=100, budget_s=900.0, variant_timeout_s=args.variant_timeout,
         results=all_results)
     if ps_sps is not None:
+        vs_ps = (f" ({ps_sps / PS23_BASELINE_STEPS_PER_SEC:.0f}x the "
+                 "0.35 steps/s Julia bound)" if args.ps_nx == 2048 else "")
         print(f"# pseudospectral {args.ps_nx}^2 fp32 best={ps_impl}: "
-              f"{ps_sps:.1f} steps/s", file=sys.stderr)
+              f"{ps_sps:.1f} steps/s{vs_ps}", file=sys.stderr)
         summary[f"ps23_{args.ps_nx}_steps_per_sec"] = round(ps_sps, 2)
         summary["ps23_impl"] = ps_impl
+        if args.ps_nx == 2048:
+            summary["ps23_vs_baseline"] = round(
+                ps_sps / PS23_BASELINE_STEPS_PER_SEC, 1)
     else:
         print("# pseudospectral bench failed (all variants)",
               file=sys.stderr)

@@ -224,3 +224,34 @@ def test_numpy_cavity_port_matches_model():
         w, s = rcn.step(w, s, cfg.dx, cfg.dy, cfg.dt, cfg.re, den)
     np.testing.assert_allclose(np.asarray(st[0]), w, rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(st[1]), s, rtol=0, atol=1e-15)
+
+
+def test_numpy_ps23_port_matches_model():
+    """The ps23 baseline-denominator port (benchmarks/reference_ps23_numpy
+    .py) computes the same trajectory as the JAX full-spectrum step —
+    its measured steps/s is the reference algorithm's."""
+    import importlib
+    import pathlib
+    import sys
+
+    bench_dir = str(pathlib.Path(__file__).parent.parent / "benchmarks")
+    if bench_dir not in sys.path:
+        sys.path.insert(0, bench_dir)
+    rp = importlib.import_module("reference_ps23_numpy")
+
+    import jax
+
+    from cfd_julia_tpu.models import vortex
+
+    nx = 64
+    cfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-2)
+    w0 = vortex.initial_vorticity(cfg, jnp.float64)
+    wf_j = spectral.zero_mean_mode(jnp.fft.fft2(w0.astype(jnp.complex128)))
+    step_j = jax.jit(vortex.make_spectral_step(cfg, jnp.float64))
+    consts = rp.make_consts(nx, nx, cfg.dx, cfg.dy)
+    wf_n = np.asarray(wf_j)
+    for _ in range(3):
+        wf_j = step_j(wf_j)
+        wf_n = rp.step(wf_n, consts, cfg.dt, cfg.re)
+    scale = np.abs(wf_n).max()
+    assert np.abs(np.asarray(wf_j) - wf_n).max() / scale < 1e-14
