@@ -301,15 +301,27 @@ def race(worker: str, variants, nx: int, steps: int = 0, tol: float = 0.0,
     return best, best_name
 
 
+def _qualifying_summary(summary) -> bool:
+    """A summary the cached fallback may serve: on-chip, headline grid."""
+    return bool(summary) and summary.get("nx") == 1024 \
+        and summary.get("platform") not in (None, "cpu")
+
+
 def _save_results(payload):
+    """Persist run results.  Only a qualifying on-chip headline run may
+    overwrite RESULTS_JSON (the cached-fallback source): a failed,
+    partial, CPU-debug, or non-1024 run writes to the side file instead,
+    so it can never erase the last measured battery."""
+    payload = {"measured_at_utc": time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **payload}
+    path = RESULTS_JSON if _qualifying_summary(payload.get("summary")) \
+        else RESULTS_JSON.replace(".json", "_debug.json")
     try:
-        payload = {"measured_at_utc": time.strftime(
-            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **payload}
-        os.makedirs(os.path.dirname(RESULTS_JSON), exist_ok=True)
-        with open(RESULTS_JSON, "w") as fh:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
             json.dump(payload, fh, indent=1)
     except OSError as e:
-        print(f"# could not save {RESULTS_JSON}: {e}", file=sys.stderr)
+        print(f"# could not save {path}: {e}", file=sys.stderr)
 
 
 def _emit_cached_or_error(error: str) -> None:
@@ -323,12 +335,13 @@ def _emit_cached_or_error(error: str) -> None:
             last = json.load(fh)
         summary = last.get("summary") or {}
         val = summary.get("cavity_steps_per_sec")
-        if val and summary.get("nx") == 1024 \
-                and summary.get("platform") not in (None, "cpu"):
+        if val and _qualifying_summary(summary):
             _emit(val, round(val / JULIA_BASELINE_STEPS_PER_SEC, 1),
                   cached=True,
                   measured_at_utc=last.get("measured_at_utc"),
                   poisson_impl=summary.get("cavity_impl"),
+                  steps=summary.get("steps"),
+                  **({"quick": True} if summary.get("quick") else {}),
                   note="device unavailable at capture time; value is the "
                        "most recent on-chip battery this round "
                        "(benchmarks/results/bench_last.json)",

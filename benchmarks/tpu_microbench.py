@@ -99,7 +99,11 @@ def timed(name, fn, x, iters=20, repeats=3, consts=None):
         t0 = time.perf_counter()
         out, chk = run(xr)
         s = float(chk)
-        dt = (time.perf_counter() - t0 - ov) / iters
+        elapsed = time.perf_counter() - t0
+        # clamp: ov is a min over 10 probes, so a lucky dispatch can beat
+        # it and make (elapsed - ov) negative for cheap small-grid
+        # kernels; a negative "best" would corrupt winners.json rankings
+        dt = max(elapsed - ov, 0.0) / iters
         best = min(best, dt)
         assert np.isfinite(s), name
     print(json.dumps({"bench": name, "ms": round(best * 1e3, 4),

@@ -22,7 +22,10 @@ for line in open(sys.argv[1]):
             d = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if d.get("metric") and (d.get("value") or 0) > 0:
+        # a cached-fallback emission is NOT a measured headline —
+        # accepting it would end the watch without ever measuring
+        if d.get("metric") and (d.get("value") or 0) > 0 \
+                and not d.get("cached"):
             sys.exit(0)
 sys.exit(1)
 EOF

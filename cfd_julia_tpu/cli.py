@@ -2,7 +2,7 @@
 
     python -m cfd_julia_tpu list
     python -m cfd_julia_tpu run <preset> [--outdir DIR] [--nx N] [--dt X] ...
-    python -m cfd_julia_tpu bench [--nx N] [--steps N]
+    python -m cfd_julia_tpu bench [--nx N] [--ps-nx N] [--mg-nx N] [--steps N]
     python -m cfd_julia_tpu validate
 
 Replaces the reference's run.sh + per-script hardcoded constants
@@ -151,7 +151,11 @@ def cmd_bench(args):
     argv = ["--quick"] if args.quick else []
     if args.nx:
         argv += ["--nx", str(args.nx)]
-    if args.steps:
+    if args.ps_nx:
+        argv += ["--ps-nx", str(args.ps_nx)]
+    if args.mg_nx:
+        argv += ["--mg-nx", str(args.mg_nx)]
+    if args.steps:  # 0 = let bench.py pick its tier default (1000/50)
         argv += ["--steps", str(args.steps)]
     return bench_mod.main(argv)
 
@@ -353,7 +357,15 @@ def main(argv=None):
                          "aggregated sweep_metrics.json")
     pb = sub.add_parser("bench")
     pb.add_argument("--nx", type=int, default=0)
-    pb.add_argument("--steps", type=int, default=200)
+    pb.add_argument("--ps-nx", type=int, default=0,
+                    help="pseudospectral secondary grid (0 = bench.py "
+                         "default 2048; shrink for CPU smoke)")
+    pb.add_argument("--mg-nx", type=int, default=0,
+                    help="multigrid secondary grid (0 = bench.py "
+                         "default 4096; shrink for CPU smoke)")
+    pb.add_argument("--steps", type=int, default=0,
+                    help="override the scan window (0 = bench.py's own "
+                         "tier default: 1000 full / 50 quick)")
     pb.add_argument("--quick", action="store_true",
                     help="one variant, one compile (flaky-tunnel mode)")
     sub.add_parser("validate")

@@ -258,9 +258,6 @@ def _build_levels(nx, ny, dx, dy, n_levels):
     return levels
 
 
-_FUSED_MIN = 512  # smallest level worth a fused kernel's DMA setup
-
-
 def _use_fused(cfg: MGConfig, nx: int, ny: int, halo_rows: int) -> bool:
     from cfd_julia_tpu.ops import pallas_kernels
 
@@ -279,10 +276,12 @@ def _use_fused(cfg: MGConfig, nx: int, ny: int, halo_rows: int) -> bool:
 def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     """One V-cycle over the static level pyramid (mg_N.jl:53-106).
 
-    On TPU, levels >= _FUSED_MIN run both level edges as single Pallas
-    slab passes (ops.pallas_kernels.residual_restrict_fused /
-    prolong_correct_smooth_fused) — element-equal to the XLA path, at a
-    fraction of the HBM traffic."""
+    With cfg.fused="on", level edges run as single Pallas slab passes
+    (ops.pallas_kernels.residual_restrict_fused /
+    prolong_correct_smooth_fused) — element-equal to the XLA path.
+    The default ("auto") keeps them OFF: the best measured on-chip
+    V-cycle is the unfused matmul-transfer + Pallas-smoother form
+    (see _use_fused); bench.py races fused="on" to revisit this."""
     from cfd_julia_tpu.ops import pallas_kernels
 
     n = len(levels)
