@@ -311,10 +311,28 @@ def _save_results(payload):
     """Persist run results.  Only a qualifying on-chip headline run may
     overwrite RESULTS_JSON (the cached-fallback source): a failed,
     partial, CPU-debug, or non-1024 run writes to the side file instead,
-    so it can never erase the last measured battery."""
+    so it can never erase the last measured battery.  A qualifying run
+    that lacks ps23_*/mg_* secondaries (quick tier, or a flap after the
+    cavity race) carries the previous battery's secondaries forward so
+    the fallback never loses measured numbers to a partial overwrite."""
     payload = {"measured_at_utc": time.strftime(
         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **payload}
-    path = RESULTS_JSON if _qualifying_summary(payload.get("summary")) \
+    qualifies = _qualifying_summary(payload.get("summary"))
+    if qualifies:
+        summary = payload["summary"]
+        if not any(k.startswith(("ps23_", "mg_")) for k in summary):
+            try:
+                with open(RESULTS_JSON) as fh:
+                    prev = json.load(fh)
+                carried = {k: v for k, v in (prev.get("summary") or {}).items()
+                           if k.startswith(("ps23_", "mg_"))}
+                if carried and _qualifying_summary(prev.get("summary")):
+                    summary.update(carried)
+                    summary["secondaries_measured_at_utc"] = \
+                        prev.get("measured_at_utc")
+            except (OSError, json.JSONDecodeError, ValueError):
+                pass
+    path = RESULTS_JSON if qualifies \
         else RESULTS_JSON.replace(".json", "_debug.json")
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -347,7 +365,7 @@ def _emit_cached_or_error(error: str) -> None:
                        "(benchmarks/results/bench_last.json)",
                   capture_error=error,
                   **{k: v for k, v in summary.items()
-                     if k.startswith(("ps23_", "mg_"))})
+                     if k.startswith(("ps23_", "mg_", "secondaries_"))})
             return
     except (OSError, json.JSONDecodeError, ValueError):
         pass

@@ -78,6 +78,37 @@ def test_cached_fallback_rejects_cpu_and_missing(monkeypatch, tmp_path,
     assert out["value"] == 0.0 and "error" in out
 
 
+def test_save_results_preserves_secondaries(monkeypatch, tmp_path):
+    """A qualifying partial/quick run must carry the previous battery's
+    ps23/mg secondaries forward, and a non-qualifying run must land in
+    the _debug side file without touching the battery record."""
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps({
+        "measured_at_utc": "2026-08-16T19:53:00Z",
+        "summary": {"cavity_steps_per_sec": 539.3, "cavity_impl": "fst",
+                    "nx": 1024, "steps": 1000, "platform": "axon",
+                    "ps23_2048_steps_per_sec": 113.0,
+                    "mg_4096_solve_s": 0.21}}))
+    monkeypatch.setattr(bench, "RESULTS_JSON", str(p))
+    # qualifying quick run without secondaries: merged forward
+    bench._save_results({"summary": {
+        "cavity_steps_per_sec": 600.0, "cavity_impl": "fst_half",
+        "nx": 1024, "steps": 50, "platform": "axon", "quick": True}})
+    saved = json.loads(p.read_text())
+    assert saved["summary"]["cavity_steps_per_sec"] == 600.0
+    assert saved["summary"]["ps23_2048_steps_per_sec"] == 113.0
+    assert saved["summary"]["mg_4096_solve_s"] == 0.21
+    assert saved["summary"]["secondaries_measured_at_utc"] == \
+        "2026-08-16T19:53:00Z"
+    # non-qualifying CPU run: side file only, record untouched
+    bench._save_results({"summary": {
+        "cavity_steps_per_sec": 9.0, "nx": 128, "platform": "cpu"}})
+    assert json.loads(p.read_text())["summary"][
+        "cavity_steps_per_sec"] == 600.0
+    debug = json.loads((tmp_path / "last_debug.json").read_text())
+    assert debug["summary"]["cavity_steps_per_sec"] == 9.0
+
+
 def test_variant_names():
     assert bench._variant_name("cavity", "fst", "highest", "xla") == "fst"
     assert bench._variant_name(
