@@ -88,8 +88,8 @@ def timed(name, fn, x, iters=20, repeats=3, consts=None):
     ov = _dispatch_overhead()
     out, chk = run(x)                # compile + warm
     float(chk)
-    best = float("inf")
-    for r in range(repeats):
+
+    def one_rep(r):
         # ADDITIVE perturbation: multiplicative is a no-op on all-zero
         # states (e.g. the cavity IC) and identical inputs can be served
         # from the remote execution cache (tpu-env-quirks)
@@ -97,17 +97,31 @@ def timed(name, fn, x, iters=20, repeats=3, consts=None):
         xr = jax.tree.map(lambda a: a + jnp.asarray(eps, a.dtype), x)
         float(jnp.abs(jax.tree.leaves(xr)[0].ravel()[0]))  # sync the perturb
         t0 = time.perf_counter()
-        out, chk = run(xr)
+        _, chk = run(xr)
         s = float(chk)
-        elapsed = time.perf_counter() - t0
-        # clamp: ov is a min over 10 probes, so a lucky dispatch can beat
-        # it and make (elapsed - ov) negative for cheap small-grid
-        # kernels; a negative "best" would corrupt winners.json rankings
-        dt = max(elapsed - ov, 0.0) / iters
-        best = min(best, dt)
         assert np.isfinite(s), name
+        return time.perf_counter() - t0
+
+    windows = [one_rep(r) for r in range(repeats)]
+    # Adaptive repeats (no recompile — remote recompiles take minutes, so
+    # the window length is fixed): when dispatch jitter is comparable to
+    # the compute window, the min over 3 samples rarely touches the
+    # dispatch floor that `ov` measured, which is how round 2 read
+    # cavity_fst at 3.51 ms/step against the 1000-step bench's 1.85.
+    # More samples make min(window) - ov a consistent estimator.
+    r = repeats
+    while r < 12 and (max(windows) - min(windows)) > 0.25 * min(windows):
+        windows.append(one_rep(r))
+        r += 1
+    best_win = min(windows)
+    # clamp: ov is a min over 10 probes, so a lucky dispatch can beat
+    # it and make (window - ov) negative for cheap small-grid kernels;
+    # a negative "best" would corrupt winners.json rankings
+    best = max(best_win - ov, 0.0) / iters
     print(json.dumps({"bench": name, "ms": round(best * 1e3, 4),
-                      "overhead_ms": round(ov * 1e3, 3)}),
+                      "overhead_ms": round(ov * 1e3, 3),
+                      "win_ms": round(best_win * 1e3, 3),
+                      "reps": len(windows)}),
           flush=True)
     return best
 
