@@ -3,6 +3,14 @@
 only). Any pytree-of-arrays solver state saves to a single .npz and
 restores exactly; solvers are pure step functions, so resume is just
 "load state, keep stepping".
+
+Two backends:
+* save_state/load_state — single-host .npz (gathers to host). Right for
+  single-chip runs and small states.
+* save_sharded/load_sharded — orbax PyTree checkpointing. Sharded
+  multi-chip states save WITHOUT a host gather (each device writes its
+  own shards) and restore directly into the given shardings — the
+  TPU-native path for large distributed fields.
 """
 from __future__ import annotations
 
@@ -35,3 +43,28 @@ def load_state(path: str, like):
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     step = int(data["__step__"]) if "__step__" in data.files else None
     return state, step
+
+
+def save_sharded(path: str, state):
+    """Save a (possibly sharded) pytree with orbax: on a multi-device
+    mesh every device writes its own array shards — no host gather, no
+    single-host memory spike.  `path` is a checkpoint DIRECTORY."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def load_sharded(path: str, like):
+    """Restore an orbax checkpoint directly into `like`'s structure,
+    dtypes, AND shardings (abstract template — sharded arrays
+    materialize already distributed, never resident on one host)."""
+    import orbax.checkpoint as ocp
+
+    template = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
+        if isinstance(a, jax.Array) else a, like)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path),
+                             restore_args=ocp.checkpoint_utils.
+                             construct_restore_args(template))
