@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cfd_julia_tpu.poisson.iterative import (
@@ -38,10 +39,14 @@ from cfd_julia_tpu.poisson.iterative import (
 )
 
 
-_RESTRICT_KERNEL = jnp.array(
+# NumPy on purpose: a module-level jnp.array initializes the JAX backend
+# at import time — with the ambient platform pointing at a dead remote
+# tunnel, even `python -m cfd_julia_tpu list` would hang.  These convert
+# to device constants at trace time.
+_RESTRICT_KERNEL = np.array(
     [[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]]
 ) / 16.0
-_PROLONG_KERNEL = jnp.array(
+_PROLONG_KERNEL = np.array(
     [[0.25, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 0.25]]
 )
 

@@ -48,3 +48,30 @@ def test_sod_plot(tmp_path):
     run.run_preset("euler_roe", outdir=str(d), nx=128, dt=2e-4)
     assert cli.main(["plot", str(d)]) == 0
     assert (d / "sod.png").exists()
+
+
+def test_import_does_not_init_backend():
+    """`python -m cfd_julia_tpu list` must work with the ambient platform
+    pointing at a dead remote tunnel: importing presets (hence every
+    model/ops/poisson module) may not initialize a JAX backend.  A
+    module-level jnp constant is enough to break this (it compiles on the
+    default backend at import) — caught live when `list` hung on the
+    downed axon tunnel."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'no_such_backend'\n"
+        "import jax._src.xla_bridge as xb\n"
+        "def _trap(*a, **k): raise SystemExit('backend init at import')\n"
+        "xb.backends = _trap\n"
+        "from cfd_julia_tpu import presets\n"
+        "print('ok', len(presets.PRESETS))\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=240,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert r.returncode == 0 and r.stdout.startswith("ok"), \
+        (r.stdout, r.stderr[-800:])
