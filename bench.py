@@ -274,16 +274,20 @@ def race(worker: str, variants, nx: int, steps: int = 0, tol: float = 0.0,
 
     budget_s: once one variant has been measured, stop racing when the
     elapsed time exceeds the budget — cold remote compiles run minutes
-    each and the headline must be emitted before any driver timeout."""
+    each and the headline must be emitted before any driver timeout.
+    Before ANY success the guard is 2x budget: a half-up tunnel (probe
+    answers, compiles hang) must not chew through every variant's full
+    timeout (9 x 840s) before the caller can fall back to the cached
+    battery record."""
     t_start = time.perf_counter()
     best, best_name = None, None
     for v in variants:
         name = _variant_name(worker, *v.split(",")) if worker != "mg" else v
-        if best_name is not None and \
-                time.perf_counter() - t_start > budget_s:
-            print(f"# {worker} race budget exhausted "
-                  f"({time.perf_counter() - t_start:.0f}s > {budget_s:.0f}s)"
-                  "; emitting best so far", file=sys.stderr)
+        elapsed = time.perf_counter() - t_start
+        if elapsed > (budget_s if best_name is not None else 2 * budget_s):
+            print(f"# {worker} race budget exhausted ({elapsed:.0f}s; "
+                  f"measured={best_name is not None}); stopping",
+                  file=sys.stderr)
             break
         r = _spawn_variant(worker, v, nx, steps, tol, variant_timeout_s)
         if results is not None:
@@ -419,7 +423,10 @@ def main(argv=None):
         "cavity", variants, args.nx, steps=steps, budget_s=args.budget,
         variant_timeout_s=args.variant_timeout, results=all_results)
     if cavity_sps is None:
-        _emit(0.0, 0.0, error="all cavity Poisson variants failed")
+        # serve the last on-chip battery rather than a 0.0 that erases it
+        _emit_cached_or_error(
+            "device probe succeeded but every cavity variant failed/timed "
+            "out (half-up tunnel or backend regression)")
         _save_results({"results": all_results})
         return 0
     print(f"# cavity {args.nx}^2 fp32 best={cavity_impl}: "

@@ -109,6 +109,45 @@ def test_save_results_preserves_secondaries(monkeypatch, tmp_path):
     assert debug["summary"]["cavity_steps_per_sec"] == 9.0
 
 
+def test_race_no_success_guard_bounds_total_failure(monkeypatch):
+    """A half-up tunnel (probe ok, every variant hangs to its timeout)
+    must not chew through all variants' full timeouts: with zero
+    successes the race stops at 2x budget so the orchestrator can fall
+    back to the cached battery record."""
+    clock = {"t": 0.0}
+    calls = []
+
+    def fake_spawn(worker, v, nx, steps, tol, timeout_s):
+        calls.append(v)
+        clock["t"] += 400.0
+        return {"worker": worker, "variant": v, "error": "TIMEOUT 400s"}
+
+    monkeypatch.setattr(bench, "_spawn_variant", fake_spawn)
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock["t"])
+    best, name = bench.race("cavity", [f"v{i},highest,xla" for i in range(9)],
+                            1024, steps=10, budget_s=500.0)
+    assert best is None and name is None
+    assert len(calls) == 3  # elapsed 0, 400, 800 spawn; 1200 > 2x500 stops
+
+
+def test_race_post_success_budget(monkeypatch):
+    """After one measured variant the budget drops to 1x: the best-so-far
+    is emitted instead of racing every cold compile."""
+    clock = {"t": 0.0}
+
+    def fake_spawn(worker, v, nx, steps, tol, timeout_s):
+        clock["t"] += 400.0
+        return {"worker": worker, "variant": v, "value": 100.0,
+                "unit": "steps/s"}
+
+    monkeypatch.setattr(bench, "_spawn_variant", fake_spawn)
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock["t"])
+    best, name = bench.race("cavity", [f"v{i},highest,xla" for i in range(9)],
+                            1024, steps=10, budget_s=500.0)
+    assert best == 100.0
+    assert clock["t"] == 800.0  # two spawns, then 800 > 500 stops
+
+
 def test_variant_names():
     assert bench._variant_name("cavity", "fst", "highest", "xla") == "fst"
     assert bench._variant_name(
