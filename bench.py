@@ -22,18 +22,17 @@ isolation costs only process startup.
 
 vs_baseline: the reference publishes no numbers and Julia is not in this
 image, so the denominator is a MEASUREMENT of the actual cavity
-algorithm (benchmarks/reference_cavity_numpy.py — the ch. 18 numerics in
-vectorized NumPy + scipy-pocketfft DST-I, verified equal to the JAX
-model to 1e-14): 0.80 steps/s at 1024^2 on this machine's single CPU
-core (0.80/0.97/0.88 across three runs), split ~0.28 s DST + ~0.80 s
-stencil/BC per step.  Julia+FFTW is granted 1.5-2.5x on the DST share
-(FFTW vs pocketfft) and 1-8x on the stencil share (fused compiled loop
-vs ~20 NumPy temporaries), giving a Julia range of ~1-4.9 steps/s; the
-divisor is 5.0 — ABOVE the most generous end of the fastest run, so
-vs_baseline is a lower bound.  (Supersedes the round-2 5-8 steps/s
-estimate, which was per-transform arithmetic extrapolated from a
-different solver's port and underestimated the RHS cost ~6x; see
-BASELINE.md round-3 section.)  North star: >= 100x => >= 500/s.
+algorithm with its stencil/BC/stage loops COMPILED — single-thread C at
+-O3 (benchmarks/reference_cavity_c.py + native/ref_kernels.c, verified
+equal to the NumPy port and hence the JAX model to 1e-13) — plus
+scipy-pocketfft DST-I: 5.43 steps/s at 1024^2 on this machine's single
+CPU core (0.140 s DST + 0.044 s C stencils per step).  The only
+remaining grant is FFTW 1.5-2.5x over pocketfft on the DST share,
+giving Julia 7.3-10.0 steps/s; the divisor is 10.0 — the most generous
+end — so vs_baseline is a lower bound.  (Supersedes the round-3 NumPy
+measurement's "1-8x compiled-loop grant", which the C measurement shows
+undersold Julia: the C stencil pass is ~18x the vectorized-NumPy one.
+History in BASELINE.md.)  North star: >= 100x => >= 1000/s.
 
 Secondary metrics (ps23 2048^2 steps/s, multigrid 4096^2 solve-to-tol
 wall-clock) go to stderr AND into benchmarks/results/bench_last.json.
@@ -49,11 +48,16 @@ import time
 
 # measured-anchored Julia estimates: upper bounds of the ranges derived
 # from the direct algorithm measurements (docstring + BASELINE.md r3):
-# cavity 1024^2 measured 0.80-0.97 NumPy steps/s -> Julia ~1-4.9;
+# cavity 1024^2 measured 5.43 C-proxy steps/s -> Julia 7.3-10.0;
 # ps23 2048^2 measured 0.11 NumPy steps/s (6.87 s/step of complex
-# transforms + 2.18 s elementwise) -> Julia 0.15-0.30.
-JULIA_BASELINE_STEPS_PER_SEC = 5.0
-PS23_BASELINE_STEPS_PER_SEC = 0.35
+# transforms + 2.18 s elementwise) -> even with the elementwise share
+# granted FREE, Julia <= (6.87/2.5)^-1 = 0.36; divisor 0.40 stays above.
+JULIA_BASELINE_STEPS_PER_SEC = 10.0
+PS23_BASELINE_STEPS_PER_SEC = 0.40
+# mg 4096^2 to rms/rms0<=1e-5: the V-cycle is pure compiled stencil
+# loops (no FFT), so the C implementation IS the Julia denominator —
+# measured 3.68 s / 5 cycles (benchmarks/reference_mg_c.py).
+MG_BASELINE_SOLVE_S = 3.68
 HEADLINE_METRIC = "cavity_1024_steps_per_sec"
 RESULTS_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "results", "bench_last.json")
@@ -441,8 +445,8 @@ def main(argv=None):
     if args.nx == 1024:
         # the baseline is DEFINED at 1024^2 — other grids report raw
         extra["baseline_steps_per_sec"] = (
-            "5.0 (direct cavity-algorithm measurement, Julia range "
-            "~1-4.9; see BASELINE.md)")
+            "10.0 (C-compiled cavity-algorithm measurement, Julia range "
+            "7.3-10.0; see BASELINE.md)")
         vs = round(cavity_sps / JULIA_BASELINE_STEPS_PER_SEC, 1)
     else:
         vs = 0.0
@@ -463,7 +467,7 @@ def main(argv=None):
         results=all_results)
     if ps_sps is not None:
         vs_ps = (f" ({ps_sps / PS23_BASELINE_STEPS_PER_SEC:.0f}x the "
-                 "0.35 steps/s Julia bound)" if args.ps_nx == 2048 else "")
+                 "0.40 steps/s Julia bound)" if args.ps_nx == 2048 else "")
         print(f"# pseudospectral {args.ps_nx}^2 fp32 best={ps_impl}: "
               f"{ps_sps:.1f} steps/s{vs_ps}", file=sys.stderr)
         summary[f"ps23_{args.ps_nx}_steps_per_sec"] = round(ps_sps, 2)
@@ -481,11 +485,16 @@ def main(argv=None):
         variant_timeout_s=args.variant_timeout,
         minimize=True, results=all_results)
     if mg_s is not None:
+        vs_mg = (f" ({MG_BASELINE_SOLVE_S / mg_s:.0f}x the measured "
+                 f"{MG_BASELINE_SOLVE_S:g} s C-proxy solve)"
+                 if (args.mg_nx, args.tol) == (4096, 1e-5) else "")
         print(f"# multigrid {args.mg_nx}^2 fp32 solve to "
-              f"rms/rms0<={args.tol:g} best={mg_impl}: {mg_s:.3f} s",
+              f"rms/rms0<={args.tol:g} best={mg_impl}: {mg_s:.3f} s{vs_mg}",
               file=sys.stderr)
         summary[f"mg_{args.mg_nx}_solve_s"] = round(mg_s, 4)
         summary["mg_impl"] = mg_impl
+        if vs_mg:
+            summary["mg_vs_baseline"] = round(MG_BASELINE_SOLVE_S / mg_s, 1)
     else:
         print("# multigrid bench failed (all variants)", file=sys.stderr)
 

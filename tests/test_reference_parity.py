@@ -255,3 +255,111 @@ def test_numpy_ps23_port_matches_model():
         wf_n = rp.step(wf_n, consts, cfg.dt, cfg.re)
     scale = np.abs(wf_n).max()
     assert np.abs(np.asarray(wf_j) - wf_n).max() / scale < 1e-14
+
+
+def _bench_module(name):
+    import importlib
+    import pathlib
+    import sys
+
+    bench_dir = str(pathlib.Path(__file__).parent.parent / "benchmarks")
+    if bench_dir not in sys.path:
+        sys.path.insert(0, bench_dir)
+    return importlib.import_module(name)
+
+
+def test_c_cavity_stepper_matches_numpy_port():
+    """The compiled-loop denominator (benchmarks/reference_cavity_c.py,
+    C stencils + scipy DST) computes the exact same trajectory as the
+    NumPy port — and hence, via test_numpy_cavity_port_matches_model,
+    as the JAX model and the reference numerics."""
+    rcn = _bench_module("reference_cavity_numpy")
+    rcc = _bench_module("reference_cavity_c")
+
+    nx = 32
+    dx = dy = 1.0 / nx
+    dt, re = 1e-3, 100.0
+    den = rcn.make_eigen_den(nx, nx, dx, dy)
+    step_c = rcc.make_stepper(nx, nx, dx, dy, dt, re, den)
+    wc = np.zeros((nx + 1, nx + 1))
+    sc = np.zeros_like(wc)
+    wn = np.zeros_like(wc)
+    sn = np.zeros_like(wc)
+    for _ in range(5):
+        wc, sc = step_c(wc, sc)
+        wn, sn = rcn.step(wn, sn, dx, dy, dt, re, den)
+    np.testing.assert_allclose(wc, wn, rtol=0, atol=1e-13)
+    np.testing.assert_allclose(sc, sn, rtol=0, atol=1e-16)
+
+
+def test_c_mg_kernels_match_loop_translations():
+    """The C multigrid kernels (benchmarks/native/ref_kernels.c) against
+    independent formulations: gs_sweep vs a literal in-place lexicographic
+    loop (Common.jl:78-92 — update order matters), residual/restriction/
+    prolongation vs vectorized NumPy (Common.jl:239-246, 21-48, 50-76)."""
+    nk = _bench_module("native_kernels")
+
+    n = 16
+    dx = dy = 1.0 / n
+    f = RNG.standard_normal((n + 1, n + 1))
+    u = RNG.standard_normal((n + 1, n + 1))
+
+    u_c = u.copy()
+    nk.gs_sweep(u_c, f, dx, dy, 2)
+    u_py = u.copy()
+    den = 1.0 / (2.0 / dx**2 + 2.0 / dy**2)
+    for _ in range(2):
+        for i in range(1, n):
+            for j in range(1, n):
+                u_py[i, j] = ((u_py[i + 1, j] + u_py[i - 1, j]) / dx**2
+                              + (u_py[i, j + 1] + u_py[i, j - 1]) / dy**2
+                              - f[i, j]) * den
+    np.testing.assert_allclose(u_c, u_py, rtol=1e-14, atol=0)
+
+    r_c = np.zeros_like(u)
+    nk.residual(u, f, r_c, dx, dy)
+    lap = np.zeros_like(u)
+    lap[1:-1, 1:-1] = ((u[2:, 1:-1] - 2 * u[1:-1, 1:-1] + u[:-2, 1:-1])
+                       / dx**2
+                       + (u[1:-1, 2:] - 2 * u[1:-1, 1:-1] + u[1:-1, :-2])
+                       / dy**2)
+    np.testing.assert_allclose(r_c[1:-1, 1:-1], (f - lap)[1:-1, 1:-1],
+                               rtol=1e-13, atol=1e-14)
+
+    rc = np.zeros((n // 2 + 1, n // 2 + 1))
+    nk.restrict_fw(r_c, rc)
+    rf = r_c
+    expect = (4 * rf[2:-2:2, 2:-2:2]
+              + 2 * (rf[3:-1:2, 2:-2:2] + rf[1:-3:2, 2:-2:2]
+                     + rf[2:-2:2, 3:-1:2] + rf[2:-2:2, 1:-3:2])
+              + rf[3:-1:2, 3:-1:2] + rf[1:-3:2, 1:-3:2]
+              + rf[3:-1:2, 1:-3:2] + rf[1:-3:2, 3:-1:2]) / 16.0
+    np.testing.assert_allclose(rc[1:-1, 1:-1], expect, rtol=1e-14, atol=0)
+
+    ec = RNG.standard_normal((n // 2 + 1, n // 2 + 1))
+    ec[0, :] = ec[-1, :] = ec[:, 0] = ec[:, -1] = 0.0   # error field BCs
+    uf = RNG.standard_normal((n + 1, n + 1))
+    uf_c = uf.copy()
+    nk.prolong_correct(ec, uf_c)
+    add = np.zeros_like(uf)
+    add[0::2, 0::2] = ec
+    add[1::2, 0::2] = 0.5 * (ec[:-1, :] + ec[1:, :])
+    add[0::2, 1::2] = 0.5 * (ec[:, :-1] + ec[:, 1:])
+    add[1::2, 1::2] = 0.25 * (ec[:-1, :-1] + ec[1:, :-1]
+                              + ec[:-1, 1:] + ec[1:, 1:])
+    np.testing.assert_allclose(uf_c, uf + add, rtol=1e-13, atol=1e-14)
+
+
+def test_c_mg_vcycle_solves_exactly_representable_problem():
+    """End-to-end V-cycle check: the ``poly`` exact solution is
+    biquadratic, so the 5-point Laplacian has zero truncation error and
+    the solve must reproduce ue to tolerance level (reference_mg_c.py,
+    mirroring mg_N.jl:53-106)."""
+    rmc = _bench_module("reference_mg_c")
+
+    nx = 128
+    ue, f, u0 = rmc.build_poly(nx)
+    u, cycles, hist = rmc.solve(nx, f, u0, tol=1e-9)
+    assert hist[-1] <= 1e-9
+    assert cycles <= 12          # healthy V-cycle contraction
+    assert np.abs(u - ue).max() < 1e-6
