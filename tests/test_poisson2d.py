@@ -223,3 +223,71 @@ def test_fmg_start_cuts_vcycles():
         assert float(res.rms / res.rms0) <= 1e-10
         its[fmg] = int(res.iterations)
     assert its[True] < its[False], its
+
+
+def test_matmul_bf16x3_precision_bound():
+    """cavity poisson='matmul_bf16x3' lowers its dots to TPU precision
+    HIGH = 3-pass bf16 (a.hi@b.hi + a.hi@b.lo + a.lo@b.hi, fp32
+    accumulation).  The CPU backend ignores precision hints, so emulate
+    the decomposition in NumPy and bound the DST-solve error it would
+    introduce on chip: it must sit well below the fp32-vs-fp64 study's
+    4e-4 psi tolerance (BASELINE.md) that gates the matching-solution-
+    error clause."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from cfd_julia_tpu.poisson import direct
+
+    def split(a):
+        hi = a.astype(ml_dtypes.bfloat16).astype(np.float32)
+        lo = (a - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+        return hi, lo
+
+    def mm3x(a, b):
+        ah, al = split(np.asarray(a, np.float32))
+        bh, bl = split(np.asarray(b, np.float32))
+        return ((ah.astype(np.float64) @ bh.astype(np.float64)).astype(
+            np.float32)
+            + (ah.astype(np.float64) @ bl.astype(np.float64)).astype(
+                np.float32)
+            + (al.astype(np.float64) @ bh.astype(np.float64)).astype(
+                np.float32))
+
+    nx = ny = 512
+    dx = dy = 1.0 / nx
+    P = Q = nx + 1
+    rng = np.random.default_rng(7)
+    f = np.zeros((P, Q))
+    f[1:-1, 1:-1] = rng.standard_normal((nx - 1, ny - 1))
+
+    s = np.asarray(direct.sine_matrix(nx, P, jnp.float64))
+    k = np.arange(P)[:, None]
+    l_ = np.arange(Q)[None, :]
+    valid = ((k >= 1) & (k <= nx - 1)) & ((l_ >= 1) & (l_ <= ny - 1))
+    den = np.where(
+        valid,
+        (2.0 / dx**2) * (np.cos(np.pi * k / nx) - 1.0)
+        + (2.0 / dy**2) * (np.cos(np.pi * l_ / ny) - 1.0),
+        1.0,
+    )
+    scale = 4.0 / (nx * ny)
+
+    u64 = (s @ ((s @ f @ s) / den) @ s) * scale
+    coeff3 = mm3x(s, mm3x(f.astype(np.float32), s)) / den
+    u3x = mm3x(s, mm3x(coeff3.astype(np.float32), s)) * scale
+
+    rel = np.abs(u3x - u64).max() / np.abs(u64).max()
+    assert rel < 5e-5, rel
+
+    # single-pass bf16 would NOT satisfy the clause — document why the
+    # race does not include a plain-bf16 variant
+    def mm1x(a, b):
+        ah, _ = split(np.asarray(a, np.float32))
+        bh, _ = split(np.asarray(b, np.float32))
+        return (ah.astype(np.float64) @ bh.astype(np.float64)).astype(
+            np.float32)
+
+    coeff1 = mm1x(s, mm1x(f.astype(np.float32), s)) / den
+    u1x = mm1x(s, mm1x(coeff1.astype(np.float32), s)) * scale
+    rel1 = np.abs(u1x - u64).max() / np.abs(u64).max()
+    assert rel1 > 20 * rel, (rel1, rel)
