@@ -129,6 +129,10 @@ def _timed_scan(step, state, steps: int, sync):
 # a budget exhaustion or tunnel flap still leaves the best-known number.
 CAVITY_VARIANTS = (
     ("fst", "highest", "xla"), ("matmul_bf16x3", "highest", "xla"),
+    # bf16x3 transforms + fused Pallas RHS: the projected-fastest combo
+    # (PERF.md "matmul_bf16x3 precision bound") — raced before the
+    # single-lever challengers so a budget cut can't drop it
+    ("matmul_bf16x3", "highest", "pallas"),
     ("fst_half", "highest", "xla"), ("fst_half_mxu", "high", "xla"),
     ("fst_mxu", "highest", "xla"), ("matmul", "highest", "xla"),
     ("fst_half_mxu", "highest", "xla"), ("fst", "highest", "pallas"),
