@@ -238,6 +238,10 @@ def test_cavity_new_poisson_variants(tpu):
         "half_mxu_hi": dict(poisson="fst_half_mxu"),
         "half_mxu_fast": dict(poisson="fst_half_mxu", fft_precision="high"),
         "pallas_rhs": dict(poisson="fst", rhs_impl="pallas"),
+        # 3-pass-bf16 dots: the on-chip counterpart of the emulated
+        # bound in test_poisson2d (CPU ignores precision hints)
+        "bf16x3": dict(poisson="matmul_bf16x3"),
+        "bf16x3_pallas": dict(poisson="matmul_bf16x3", rhs_impl="pallas"),
     }.items():
         cfg = cavity.CavityConfig(nx=128, ny=128, **kw)
         step = jax.jit(cavity.make_step_fn(cfg))
@@ -246,6 +250,7 @@ def test_cavity_new_poisson_variants(tpu):
             st = step(st)
         outs[name] = np.asarray(st[1])
     scale = max(np.abs(outs["base"]).max(), 1e-30)
-    for name in ("half_mxu_hi", "half_mxu_fast", "pallas_rhs"):
+    for name in ("half_mxu_hi", "half_mxu_fast", "pallas_rhs",
+                 "bf16x3", "bf16x3_pallas"):
         d = np.abs(outs[name] - outs["base"]).max() / scale
         assert d < 1e-3, (name, d)
