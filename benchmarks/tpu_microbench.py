@@ -281,6 +281,13 @@ def bench_cavity_parts(n):
     timed(f"cavpart_solve_densemm_{n}",
           lambda x: sc * direct.solve_fst_matmul_padded(x, n, n, dx, dx),
           w, iters=20)
+    # interior-aligned vs zero-extended: isolates the MXU tile-padding
+    # cost (1025 -> 1152 lanes vs 1023 -> 1024 at n=1024)
+    for prec in ("highest", "high"):
+        timed(f"cavpart_solve_intmm_{prec}_{n}",
+              lambda x, p=prec: sc * direct.solve_fst_matmul_interior(
+                  x, n, n, dx, dx, mm_precision=p),
+              w, iters=20)
     timed(f"cavpart_rhs_{n}",
           lambda ws: (ws[0] + 1e-9 * arakawa.vorticity_rhs(
               ws[0], ws[1], dx, dx, 100.0), ws[1]), (w, s), iters=20)

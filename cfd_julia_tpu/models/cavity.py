@@ -211,10 +211,12 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
             "aware step uses poisson='fst'/'fst_half' (pencil DST) or "
             "make_padded_step_fn (matmul DST with native sharding)")
     if cfg.poisson in ("matmul", "matmul_bf16x3"):
-        # padded solver on the exact (nx+1, ny+1) shape: reads the
-        # interior, returns exact-zero walls — same contract as solve_fst
+        # interior-aligned matmul solver: reads the interior, returns
+        # exact-zero walls — same contract as solve_fst, with dot
+        # operands MXU-tile-aligned (1023 -> 1024 lanes instead of
+        # 1025 -> 1152; ~26% less MXU work at 1024^2)
         prec = "high" if cfg.poisson == "matmul_bf16x3" else "highest"
-        solve = lambda f: direct.solve_fst_matmul_padded(
+        solve = lambda f: direct.solve_fst_matmul_interior(
             f, cfg.nx, cfg.ny, dx, dy, mm_precision=prec)
     elif cfg.poisson == "fst_half_mxu":
         # half-length DST with its rfft on the MXU

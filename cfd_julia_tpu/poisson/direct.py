@@ -80,3 +80,30 @@ def solve_fst_matmul_padded(f, nx: int, ny: int, dx: float, dy: float,
     mm = lambda a, b: jnp.matmul(a, b, precision=mm_precision)
     coeff = mm(mm(sx, g), sy) / den
     return mm(mm(sx, coeff), sy) * (4.0 / (nx * ny))
+
+
+def solve_fst_matmul_interior(f, nx: int, ny: int, dx: float, dy: float,
+                              mm_precision: str = "highest"):
+    """Single-device form of solve_fst_matmul_padded with MXU-tile-
+    aligned operands.  The (nx+1, ny+1) walls carry no information, so
+    slice the (nx-1, ny-1) interior, apply exact interior-sized sine
+    matrices, and pad the zero ring back.  At the north-star 1024^2
+    this replaces 1025-lane dot operands (which tile to 1152 lanes on
+    TPU: +12% per dim, ~+26% wasted MXU work across the contraction)
+    with 1023-lane ones (tile to 1024: +0.1%).  Same eigenvalues and
+    normalization as solve_fst_matmul_padded; the sharded padded step
+    keeps the zero-extended form (its masking does the wall handling).
+    """
+    dtype = f.dtype
+    g = f[1:nx, 1:ny]
+    kx = jnp.arange(1, nx, dtype=dtype)
+    ky = jnp.arange(1, ny, dtype=dtype)
+    sx = jnp.sin(jnp.pi * kx[:, None] * kx[None, :] / nx)
+    sy = jnp.sin(jnp.pi * ky[:, None] * ky[None, :] / ny)
+    den = (2.0 / dx**2) * (jnp.cos(jnp.pi * kx[:, None] / nx) - 1.0) + (
+        2.0 / dy**2
+    ) * (jnp.cos(jnp.pi * ky[None, :] / ny) - 1.0)
+    mm = lambda a, b: jnp.matmul(a, b, precision=mm_precision)
+    coeff = mm(mm(sx, g), sy) / den
+    u = mm(mm(sx, coeff), sy) * (4.0 / (nx * ny))
+    return jnp.pad(u, 1)

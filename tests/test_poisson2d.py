@@ -291,3 +291,25 @@ def test_matmul_bf16x3_precision_bound():
     u1x = mm1x(s, mm1x(coeff1.astype(np.float32), s)) * scale
     rel1 = np.abs(u1x - u64).max() / np.abs(u64).max()
     assert rel1 > 20 * rel, (rel1, rel)
+
+
+def test_matmul_interior_matches_padded():
+    """The MXU-tile-aligned interior matmul solver (the single-device
+    cavity path) computes the same solution as the zero-extended padded
+    form (the sharded path) — only the operand shapes differ."""
+    import jax.numpy as jnp
+
+    from cfd_julia_tpu.poisson import direct
+
+    nx = ny = 32
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(3)
+    f = np.zeros((nx + 1, ny + 1))
+    f[1:-1, 1:-1] = rng.standard_normal((nx - 1, ny - 1))
+    f = jnp.asarray(f)
+    up = direct.solve_fst_matmul_padded(f, nx, ny, dx, dy)
+    ui = direct.solve_fst_matmul_interior(f, nx, ny, dx, dy)
+    assert ui.shape == up.shape
+    np.testing.assert_allclose(np.asarray(ui), np.asarray(up),
+                               rtol=0, atol=1e-12)
+    assert np.abs(np.asarray(ui)[0, :]).max() == 0.0  # exact-zero walls
