@@ -332,12 +332,17 @@ def _save_results(payload):
     qualifies = _qualifying_summary(payload.get("summary"))
     if qualifies:
         summary = payload["summary"]
-        if not any(k.startswith(("ps23_", "mg_")) for k in summary):
+        # carry each secondary FAMILY independently: a run that measured
+        # ps23 but lost mg (or vice versa) must not erase the other
+        # family's last measured numbers from the battery record
+        missing = tuple(p for p in ("ps23_", "mg_")
+                        if not any(k.startswith(p) for k in summary))
+        if missing:
             try:
                 with open(RESULTS_JSON) as fh:
                     prev = json.load(fh)
                 carried = {k: v for k, v in (prev.get("summary") or {}).items()
-                           if k.startswith(("ps23_", "mg_"))}
+                           if k.startswith(missing)}
                 if carried and _qualifying_summary(prev.get("summary")):
                     summary.update(carried)
                     summary["secondaries_measured_at_utc"] = \
@@ -462,6 +467,10 @@ def main(argv=None):
                "cavity_impl": cavity_impl, "nx": args.nx, "steps": steps,
                "platform": platform}
     if args.quick:
+        # record the provenance so a cached fallback that later serves
+        # this battery re-emits the quick marker (short window, single
+        # variant — not full-methodology)
+        summary["quick"] = True
         _save_results({"summary": summary, "results": all_results})
         return 0
 

@@ -45,7 +45,12 @@ os.makedirs(args.outdir, exist_ok=True)
 # decay rate should match -2 nu P (trapezoidal in time)
 snaps = [np.asarray(s) for s in res.snapshots]
 n_snap = len(snaps)
-times = np.linspace(0.0, cfg.t_final, n_snap)
+# snapshots sit at steps 0, every, 2*every, ... (run_steps_with_snapshots;
+# remainder steps after the last snapshot are NOT snapshotted), so the
+# time axis is k*every*dt — a linspace to t_final would mislabel every
+# snapshot whenever nt % ns != 0 and corrupt the budget's (t1 - t0)
+every = max(1, cfg.nt // cfg.ns)
+times = np.arange(n_snap) * every * cfg.dt
 rows = []
 for t, w in zip(times, snaps):
     e, z, p = (float(v) for v in diagnostics.invariants(w, cfg.dx, cfg.dy))

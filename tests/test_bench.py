@@ -109,6 +109,36 @@ def test_save_results_preserves_secondaries(monkeypatch, tmp_path):
     assert debug["summary"]["cavity_steps_per_sec"] == 9.0
 
 
+def test_save_results_carries_each_secondary_family(monkeypatch, tmp_path):
+    """The carry is per FAMILY: a run that measured ps23 but lost mg
+    (the documented round-2 failure mode) keeps the previous battery's
+    mg secondary instead of erasing it — and vice versa."""
+    p = tmp_path / "last.json"
+    p.write_text(json.dumps({
+        "measured_at_utc": "2026-08-16T19:53:00Z",
+        "summary": {"cavity_steps_per_sec": 539.3, "cavity_impl": "fst",
+                    "nx": 1024, "steps": 1000, "platform": "axon",
+                    "ps23_2048_steps_per_sec": 113.0,
+                    "mg_4096_solve_s": 0.21}}))
+    monkeypatch.setattr(bench, "RESULTS_JSON", str(p))
+    bench._save_results({"summary": {
+        "cavity_steps_per_sec": 610.0, "cavity_impl": "fst",
+        "nx": 1024, "steps": 1000, "platform": "axon",
+        "ps23_2048_steps_per_sec": 140.0, "ps23_impl": "xla"}})
+    saved = json.loads(p.read_text())["summary"]
+    assert saved["ps23_2048_steps_per_sec"] == 140.0   # fresh measurement
+    assert saved["mg_4096_solve_s"] == 0.21            # carried forward
+    assert saved["secondaries_measured_at_utc"] == "2026-08-16T19:53:00Z"
+    # the reverse direction: mg measured, ps23 carried
+    bench._save_results({"summary": {
+        "cavity_steps_per_sec": 620.0, "cavity_impl": "fst",
+        "nx": 1024, "steps": 1000, "platform": "axon",
+        "mg_4096_solve_s": 0.18, "mg_impl": "matmul,off,plain"}})
+    saved = json.loads(p.read_text())["summary"]
+    assert saved["mg_4096_solve_s"] == 0.18
+    assert saved["ps23_2048_steps_per_sec"] == 140.0
+
+
 def test_race_no_success_guard_bounds_total_failure(monkeypatch):
     """A half-up tunnel (probe ok, every variant hangs to its timeout)
     must not chew through all variants' full timeouts: with zero

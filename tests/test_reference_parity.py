@@ -195,11 +195,7 @@ def test_cavity_wall_bc():
     np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-14)
 
 
-def test_numpy_cavity_port_matches_model():
-    """The baseline-denominator port (benchmarks/reference_cavity_numpy.py,
-    the measured stand-in for lid_driven_cavity.jl) computes the exact
-    same trajectory as the JAX cavity model — so its measured steps/s is
-    the reference algorithm's, not an approximation of it."""
+def _bench_module(name):
     import importlib
     import pathlib
     import sys
@@ -207,7 +203,15 @@ def test_numpy_cavity_port_matches_model():
     bench_dir = str(pathlib.Path(__file__).parent.parent / "benchmarks")
     if bench_dir not in sys.path:
         sys.path.insert(0, bench_dir)
-    rcn = importlib.import_module("reference_cavity_numpy")
+    return importlib.import_module(name)
+
+
+def test_numpy_cavity_port_matches_model():
+    """The baseline-denominator port (benchmarks/reference_cavity_numpy.py,
+    the measured stand-in for lid_driven_cavity.jl) computes the exact
+    same trajectory as the JAX cavity model — so its measured steps/s is
+    the reference algorithm's, not an approximation of it."""
+    rcn = _bench_module("reference_cavity_numpy")
 
     import jax
 
@@ -230,14 +234,7 @@ def test_numpy_ps23_port_matches_model():
     """The ps23 baseline-denominator port (benchmarks/reference_ps23_numpy
     .py) computes the same trajectory as the JAX full-spectrum step —
     its measured steps/s is the reference algorithm's."""
-    import importlib
-    import pathlib
-    import sys
-
-    bench_dir = str(pathlib.Path(__file__).parent.parent / "benchmarks")
-    if bench_dir not in sys.path:
-        sys.path.insert(0, bench_dir)
-    rp = importlib.import_module("reference_ps23_numpy")
+    rp = _bench_module("reference_ps23_numpy")
 
     import jax
 
@@ -255,17 +252,6 @@ def test_numpy_ps23_port_matches_model():
         wf_n = rp.step(wf_n, consts, cfg.dt, cfg.re)
     scale = np.abs(wf_n).max()
     assert np.abs(np.asarray(wf_j) - wf_n).max() / scale < 1e-14
-
-
-def _bench_module(name):
-    import importlib
-    import pathlib
-    import sys
-
-    bench_dir = str(pathlib.Path(__file__).parent.parent / "benchmarks")
-    if bench_dir not in sys.path:
-        sys.path.insert(0, bench_dir)
-    return importlib.import_module(name)
 
 
 def test_c_cavity_stepper_matches_numpy_port():
