@@ -122,24 +122,32 @@ def mg_case(nx: int):
                                 / scale)}
 
 
+def _jobs(quick: bool):
+    if quick:
+        return [lambda: cavity_cases(128, 200, [("fst_half_mxu", "high")]),
+                lambda: ps23_case(256, 50, "matmul", "high"),
+                lambda: mg_case(256)]
+    return [lambda: cavity_cases(1024, 500,
+                                 [("fst_half_mxu", "high"),
+                                  ("matmul_bf16x3", "highest")]),
+            lambda: ps23_case(2048, 60, "matmul", "high"),
+            lambda: mg_case(2048)]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--job", type=int, default=None,
+                    help="internal: run ONE case family in this process")
+    ap.add_argument("--job-timeout", type=float, default=1100.0)
     args = ap.parse_args()
-    if args.quick:
-        jobs = [lambda: cavity_cases(128, 200, [("fst_half_mxu", "high")]),
-                lambda: ps23_case(256, 50, "matmul", "high"),
-                lambda: mg_case(256)]
-    else:
-        jobs = [lambda: cavity_cases(1024, 500,
-                                     [("fst_half_mxu", "high"),
-                                      ("matmul_bf16x3", "highest")]),
-                lambda: ps23_case(2048, 60, "matmul", "high"),
-                lambda: mg_case(2048)]
-    for job in jobs:
+    jobs = _jobs(args.quick)
+
+    if args.job is not None:
+        # worker mode: one family per interpreter
         try:
             t0 = time.perf_counter()
-            rs = job()
+            rs = jobs[args.job]()
             if isinstance(rs, dict):
                 rs = [rs]
             wall = round(time.perf_counter() - t0, 2)
@@ -148,6 +156,31 @@ def main():
                 print(json.dumps(r), flush=True)
         except Exception as e:
             print(json.dumps({"error": repr(e)[:300]}), flush=True)
+        return
+
+    # orchestrator: one subprocess per family — a single UNIMPLEMENTED op
+    # poisons a process's TPU client (CLAUDE.md), so the families must
+    # never share one (same isolation contract as bench.py/run_tpu_smoke)
+    import subprocess
+
+    for i in range(len(jobs)):
+        cmd = [sys.executable, os.path.abspath(__file__), f"--job={i}"]
+        if args.quick:
+            cmd.append("--quick")
+        try:
+            r = subprocess.run(cmd, timeout=args.job_timeout,
+                               capture_output=True, text=True)
+            sys.stdout.write(r.stdout)
+            sys.stderr.write(r.stderr[-2000:])
+            if r.returncode != 0 and not r.stdout.strip():
+                print(json.dumps({"job": i,
+                                  "error": f"worker rc={r.returncode}: "
+                                           + r.stderr[-200:]}), flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"job": i,
+                              "error": f"timeout {args.job_timeout}s"}),
+                  flush=True)
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":
