@@ -413,6 +413,13 @@ def main(argv=None):
     ap.add_argument("--budget", type=float, default=1500.0,
                     help="cavity race budget, seconds")
     ap.add_argument("--variant-timeout", type=float, default=840.0)
+    ap.add_argument("--max-variants", type=int, default=0,
+                    help="cap each family's race to its first N variants "
+                         "(0 = all). --max-variants 1 is the battery's "
+                         "'secure pass': one proven variant per family "
+                         "with full methodology, so a short tunnel "
+                         "window still records all three north-star "
+                         "metrics before the full race starts")
     args = ap.parse_args(argv)
 
     if args.worker:
@@ -427,10 +434,14 @@ def main(argv=None):
         return 0
 
     steps = args.steps or (50 if args.quick else 1000)
+
+    def _cap(fam):
+        return fam[: args.max_variants] if args.max_variants > 0 else fam
+
     # --quick keeps its one-compile-one-number contract: only the proven
     # fst variant; the full run races every formulation
     variants = ("fst,highest,xla",) if args.quick else \
-        tuple(",".join(v) for v in CAVITY_VARIANTS)
+        tuple(",".join(v) for v in _cap(CAVITY_VARIANTS))
     all_results = []
     cavity_sps, cavity_impl = race(
         "cavity", variants, args.nx, steps=steps, budget_s=args.budget,
@@ -475,7 +486,7 @@ def main(argv=None):
         return 0
 
     ps_sps, ps_impl = race(
-        "ps23", tuple(",".join(v) for v in PS_VARIANTS), args.ps_nx,
+        "ps23", tuple(",".join(v) for v in _cap(PS_VARIANTS)), args.ps_nx,
         steps=100, budget_s=900.0, variant_timeout_s=args.variant_timeout,
         results=all_results)
     if ps_sps is not None:
@@ -493,7 +504,7 @@ def main(argv=None):
               file=sys.stderr)
 
     mg_s, mg_impl = race(
-        "mg", tuple(",".join(v) for v in MG_VARIANTS), args.mg_nx,
+        "mg", tuple(",".join(v) for v in _cap(MG_VARIANTS)), args.mg_nx,
         tol=args.tol, budget_s=900.0,
         variant_timeout_s=args.variant_timeout,
         minimize=True, results=all_results)

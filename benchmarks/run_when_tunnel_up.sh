@@ -22,23 +22,29 @@ fi
 echo "== 1. headline bench (quick: one compile, one number) =="
 timeout 1200 python bench.py --quick 2>&1 | tee "$OUT/bench_quick_$STAMP.log"
 
-echo "== 2. FULL bench (the driver-grade artifact: headline variant race"
+echo "== 2. secure pass (ONE proven variant per family, full methodology:"
+echo "      records all three north-star metrics in ~20 min so a short"
+echo "      window can't lose ps23/mg to the cavity race again) =="
+timeout 2700 python bench.py --max-variants 1 2>&1 \
+    | tee "$OUT/bench_full_secure_$STAMP.log"
+
+echo "== 3. FULL bench (the driver-grade artifact: headline variant race"
 echo "      + ps23 + multigrid secondaries, per-variant subprocesses) =="
 timeout 4800 python bench.py 2>&1 | tee "$OUT/bench_full_$STAMP.log"
 
-echo "== 3. TPU smoke tier (per-test subprocess isolation) =="
+echo "== 4. TPU smoke tier (per-test subprocess isolation) =="
 timeout 7200 python benchmarks/run_tpu_smoke.py 2>&1 \
     | tee "$OUT/tpu_smoke_$STAMP.log"
 
-echo "== 4. candidate microbench (small sizes first) =="
+echo "== 5. candidate microbench (small sizes first) =="
 timeout 1800 python benchmarks/tpu_microbench.py --sizes small 2>&1 \
     | tee "$OUT/microbench_small_$STAMP.log"
 
-echo "== 5. candidate microbench (north-star sizes) =="
+echo "== 6. candidate microbench (north-star sizes) =="
 timeout 10800 python benchmarks/tpu_microbench.py 2>&1 \
     | tee "$OUT/microbench_full_$STAMP.log"
 
-echo "== 6. variant solution-error study (fp32, on-TPU) =="
+echo "== 7. variant solution-error study (fp32, on-TPU) =="
 timeout 3600 python benchmarks/variant_error_study.py 2>&1 \
     | tee "$OUT/variant_err_$STAMP.log"
 

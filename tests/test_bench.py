@@ -186,3 +186,25 @@ def test_variant_names():
     assert bench._variant_name("ps23", "xla", "highest", "pack") == "xla"
     assert bench._variant_name("ps23", "matmul", "high", "rowsfirst") == \
         "matmul:high+rowsfirst"
+
+
+def test_max_variants_caps_every_family(monkeypatch, tmp_path, capsys):
+    """--max-variants 1 (the battery's secure pass) races exactly one
+    proven variant per family, so a short tunnel window records all
+    three north-star metrics before the full race runs."""
+    monkeypatch.setattr(bench, "RESULTS_JSON", str(tmp_path / "last.json"))
+    monkeypatch.setattr(bench, "_probe_devices", lambda *a, **k: "axon")
+    raced = {}
+
+    def fake_race(worker, variants, nx, steps=0, tol=0.0, budget_s=0.0,
+                  variant_timeout_s=0.0, minimize=False, results=None):
+        raced[worker] = variants
+        return (0.5, variants[0]) if minimize else (100.0, variants[0])
+
+    monkeypatch.setattr(bench, "race", fake_race)
+    assert bench.main(["--max-variants", "1"]) == 0
+    assert raced["cavity"] == ("fst,highest,xla",)
+    assert raced["ps23"] == ("xla,highest,pack",)
+    assert raced["mg"] == ("matmul,off,plain",)
+    out = capsys.readouterr().out
+    assert '"value": 100.0' in out
