@@ -39,11 +39,20 @@ def sine_matrix(n: int, size: int, dtype):
     for r, c < n and 0 elsewhere.  S restricted to indices 1..n-1 is the
     (unscaled) DST-I; rows/cols 0 vanish naturally (sin 0), so applying S
     to a field whose walls and padding are zero both transforms the
-    interior and keeps the zero ring — no slicing in or out."""
-    r = jnp.arange(size, dtype=dtype)[:, None]
-    c = jnp.arange(size, dtype=dtype)[None, :]
-    s = jnp.sin(jnp.pi * r * c / n)
-    return jnp.where((r < n) & (c < n), s, jnp.zeros((), dtype))
+    interior and keeps the zero ring — no slicing in or out.
+
+    The argument is reduced by sin's period BEFORE it grows: r*c in
+    int32 mod 2n (exact for n*size < 2^31 — far beyond any viable dense
+    size), so the fp32 argument stays <= 2 pi and entries are accurate
+    to ~3e-7 instead of the ~3e-4 an unreduced fp32 pi*r*c/n product
+    carries at n=1024.  Kept as traced iota ops, not an embedded
+    constant: a 1025^2 fp32 literal adds ~4 MB to the program body,
+    which the remote-compile tunnel rejects at large sizes (HTTP 413)."""
+    ri = jnp.arange(size, dtype=jnp.int32)[:, None]
+    ci = jnp.arange(size, dtype=jnp.int32)[None, :]
+    m = (ri * ci) % (2 * n)
+    s = jnp.sin(jnp.pi * m.astype(dtype) / n)
+    return jnp.where((ri < n) & (ci < n), s, jnp.zeros((), dtype))
 
 
 def solve_fst_matmul_padded(f, nx: int, ny: int, dx: float, dy: float,
@@ -96,10 +105,18 @@ def solve_fst_matmul_interior(f, nx: int, ny: int, dx: float, dy: float,
     """
     dtype = f.dtype
     g = f[1:nx, 1:ny]
+
+    def sine_interior(n):
+        # period-reduced argument (see sine_matrix): exact int32 r*c mod
+        # 2n keeps the fp32 sin argument <= 2 pi -> ~3e-7-accurate entries
+        k = jnp.arange(1, n, dtype=jnp.int32)
+        m = (k[:, None] * k[None, :]) % (2 * n)
+        return jnp.sin(jnp.pi * m.astype(dtype) / n)
+
+    sx = sine_interior(nx)
+    sy = sine_interior(ny)
     kx = jnp.arange(1, nx, dtype=dtype)
     ky = jnp.arange(1, ny, dtype=dtype)
-    sx = jnp.sin(jnp.pi * kx[:, None] * kx[None, :] / nx)
-    sy = jnp.sin(jnp.pi * ky[:, None] * ky[None, :] / ny)
     den = (2.0 / dx**2) * (jnp.cos(jnp.pi * kx[:, None] / nx) - 1.0) + (
         2.0 / dy**2
     ) * (jnp.cos(jnp.pi * ky[None, :] / ny) - 1.0)

@@ -313,3 +313,21 @@ def test_matmul_interior_matches_padded():
     np.testing.assert_allclose(np.asarray(ui), np.asarray(up),
                                rtol=0, atol=1e-12)
     assert np.abs(np.asarray(ui)[0, :]).max() == 0.0  # exact-zero walls
+
+
+def test_sine_matrix_fp32_construction_accuracy():
+    """The DST matrices are built at trace time in the solve dtype; the
+    period-reduced argument (int32 r*c mod 2n) keeps fp32 entries
+    correctly rounded (~3e-7) where the naive pi*r*c/n fp32 product
+    drifts to ~3e-4 at n=1024 (argument ~3.2e3 rad, ulp 2.4e-4)."""
+    import jax.numpy as jnp
+
+    from cfd_julia_tpu.poisson import direct
+
+    n, size = 1024, 1025
+    s32 = np.asarray(direct.sine_matrix(n, size, jnp.float32), np.float64)
+    r = np.arange(size, dtype=np.float64)
+    ref = np.sin(np.pi * r[:, None] * r[None, :] / n)
+    ref[n:, :] = 0.0
+    ref[:, n:] = 0.0
+    assert np.abs(s32 - ref).max() < 1e-6
