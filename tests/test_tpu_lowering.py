@@ -61,6 +61,23 @@ mb = len(lower(lambda s: loop.run_steps(step, s, 10), h)) / 1e6
 # the traced-consts form measures ~0.05 MB at 2048^2
 assert mb < 3.0, f"ps23 step lowered text {mb:.1f} MB - embedded constants are back"
 print(f"ps23_size OK ({mb:.2f} MB)")
+
+# every raced cavity Poisson variant must cross-lower (Mosaic accepts
+# the program, incl. precision-HIGH dots) with a bounded program body.
+# fst_half_mxu legitimately embeds the fixed <=128^2 DFT factor
+# literals (~5 MB of TEXT, flat in n — measured 4.94/4.99/5.09 MB at
+# 256/512/1024); anything O(n^2) would blow past 8 MB already at 256.
+from cfd_julia_tpu.models import cavity
+
+for poisson in ("fst", "matmul", "matmul_bf16x3", "fst_half",
+                "fst_half_mxu"):
+    ccfg = cavity.CavityConfig(nx=256, ny=256, poisson=poisson)
+    cstep = cavity.make_step_fn(ccfg)
+    w = jnp.zeros((257, 257), jnp.float32)
+    cst = (w, jnp.zeros_like(w), jnp.zeros((), jnp.float32))
+    cmb = len(lower(lambda s: loop.run_steps(cstep, s, 10), cst)) / 1e6
+    assert cmb < 8.0, f"cavity {poisson} lowered text {cmb:.1f} MB"
+    print(f"cavity_{poisson} OK ({cmb:.2f} MB)")
 """
 
 
@@ -69,5 +86,7 @@ def test_tpu_cross_lowering_preflight():
                        capture_output=True, timeout=900)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     for name in ("redblack", "resrestrict", "smoothresrestrict",
-                 "prolsmooth", "arakawa", "euler", "ps23_size"):
+                 "prolsmooth", "arakawa", "euler", "ps23_size",
+                 "cavity_fst", "cavity_matmul", "cavity_matmul_bf16x3",
+                 "cavity_fst_half", "cavity_fst_half_mxu"):
         assert f"{name} OK" in r.stdout, (name, r.stdout)
