@@ -78,6 +78,27 @@ for poisson in ("fst", "matmul", "matmul_bf16x3", "fst_half",
     cmb = len(lower(lambda s: loop.run_steps(cstep, s, 10), cst)) / 1e6
     assert cmb < 8.0, f"cavity {poisson} lowered text {cmb:.1f} MB"
     print(f"cavity_{poisson} OK ({cmb:.2f} MB)")
+
+# raced MG V-cycle forms, with the smoother the chip will pick (pallas
+# at levels >= 512; the XLA-smoother forms are the ones that exceeded
+# the remote-compile HTTP body limit on chip).  4096^2 forms measured
+# 0.35-1.07 MB.
+from cfd_julia_tpu.poisson import multigrid
+
+_orig_pick = multigrid._pick_smoother
+multigrid._pick_smoother = lambda a, b, backend=None: _orig_pick(a, b, "tpu")
+mn = 1024
+mf = jnp.zeros((mn + 1, mn + 1), jnp.float32)
+for transfers, fused in (("matmul", "off"), ("matmul", "on"),
+                         ("conv", "off")):
+    mcfg = multigrid.MGConfig(transfers=transfers, fused=fused,
+                              tol=1e-5, max_cycles=20)
+    mmb = len(lower(lambda ff, uu: multigrid.solve(
+        ff, uu, 1.0 / mn, 1.0 / mn, cfg=mcfg).u, mf, jnp.zeros_like(mf))
+    ) / 1e6
+    assert mmb < 8.0, f"mg {transfers},{fused} lowered text {mmb:.1f} MB"
+    print(f"mg_{transfers}_{fused} OK ({mmb:.2f} MB)")
+multigrid._pick_smoother = _orig_pick
 """
 
 
@@ -88,5 +109,6 @@ def test_tpu_cross_lowering_preflight():
     for name in ("redblack", "resrestrict", "smoothresrestrict",
                  "prolsmooth", "arakawa", "euler", "ps23_size",
                  "cavity_fst", "cavity_matmul", "cavity_matmul_bf16x3",
-                 "cavity_fst_half", "cavity_fst_half_mxu"):
+                 "cavity_fst_half", "cavity_fst_half_mxu",
+                 "mg_matmul_off", "mg_matmul_on", "mg_conv_off"):
         assert f"{name} OK" in r.stdout, (name, r.stdout)
