@@ -99,6 +99,19 @@ for transfers, fused in (("matmul", "off"), ("matmul", "on"),
     assert mmb < 8.0, f"mg {transfers},{fused} lowered text {mmb:.1f} MB"
     print(f"mg_{transfers}_{fused} OK ({mmb:.2f} MB)")
 multigrid._pick_smoother = _orig_pick
+
+# raced ps23 variants at the north-star size (the MXU-FFT forms embed
+# the fixed <=128^2 DFT factor literals: 6.37 MB of text, flat in n)
+for fft_impl, prec, pair in (("xla", "highest", "rowsfirst"),
+                             ("matmul", "high", "pack")):
+    pcfg = vortex.VortexConfig(nx=2048, ny=2048, solver="ps23", dt=1e-3,
+                               fft_impl=fft_impl, fft_precision=prec,
+                               pair_impl=pair)
+    pstep = vortex.make_spectral_step_half_packed(pcfg, jnp.float32)
+    ph = jnp.zeros((2, 2048, 1025), jnp.float32)
+    pmb = len(lower(lambda s: loop.run_steps(pstep, s, 10), ph)) / 1e6
+    assert pmb < 10.0, f"ps23 {fft_impl},{prec},{pair} {pmb:.1f} MB"
+    print(f"ps23_{fft_impl}_{pair} OK ({pmb:.2f} MB)")
 """
 
 
@@ -110,5 +123,6 @@ def test_tpu_cross_lowering_preflight():
                  "prolsmooth", "arakawa", "euler", "ps23_size",
                  "cavity_fst", "cavity_matmul", "cavity_matmul_bf16x3",
                  "cavity_fst_half", "cavity_fst_half_mxu",
-                 "mg_matmul_off", "mg_matmul_on", "mg_conv_off"):
+                 "mg_matmul_off", "mg_matmul_on", "mg_conv_off",
+                 "ps23_xla_rowsfirst", "ps23_matmul_pack"):
         assert f"{name} OK" in r.stdout, (name, r.stdout)
