@@ -331,3 +331,24 @@ def test_sine_matrix_fp32_construction_accuracy():
     ref[n:, :] = 0.0
     ref[:, n:] = 0.0
     assert np.abs(s32 - ref).max() < 1e-6
+
+
+@pytest.mark.parametrize("nx,ny", [(100, 48), (40, 100), (96, 96)])
+def test_matmul_interior_matches_fst_irregular_sizes(nx, ny):
+    """The interior matmul solver equals the rfft odd-extension DST
+    solver at non-reference, non-square, non-power-of-two grids — the
+    sizes a `run --sweep nx=...` user actually hits."""
+    import jax.numpy as jnp
+
+    from cfd_julia_tpu.poisson import direct
+
+    dx, dy = 1.0 / nx, 1.0 / ny
+    rng = np.random.default_rng(11)
+    f = np.zeros((nx + 1, ny + 1))
+    f[1:-1, 1:-1] = rng.standard_normal((nx - 1, ny - 1))
+    f = jnp.asarray(f)
+    u_fst = direct.solve_fst(f, dx, dy)
+    u_int = direct.solve_fst_matmul_interior(f, nx, ny, dx, dy)
+    assert u_int.shape == u_fst.shape == (nx + 1, ny + 1)
+    np.testing.assert_allclose(np.asarray(u_int), np.asarray(u_fst),
+                               rtol=0, atol=1e-11)
