@@ -15,7 +15,36 @@ can use it before anything heavy loads.
 """
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def host_cache_key() -> str:
+    """Short fingerprint of this host's CPU feature set.
+
+    XLA:CPU persists AOT-compiled executables into the compilation cache
+    keyed only by the computation — NOT by the host's CPU features.  A
+    cache populated on one machine and read on another with different
+    vector extensions makes the loader warn "Compile machine features
+    ... doesn't match ... could lead to SIGILL" and is a latent crash
+    (observed in MULTICHIP_r03.json when the driver reran the dryrun on
+    a different host).  Keying the cache *directory* by the feature set
+    makes heterogeneous hosts use disjoint caches.
+    """
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    if not feats:
+        import platform as _platform
+
+        feats = f"{_platform.machine()}-{_platform.processor()}"
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
 
 
 def configure_jax(cache_dir: str | None = "~/.cache/jax_test_cache",
@@ -40,8 +69,11 @@ def configure_jax(cache_dir: str | None = "~/.cache/jax_test_cache",
             pass  # backend already initialized; callers that must be sure
                   # check jax.devices(<platform>) themselves
     if cache_dir:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser(cache_dir))
+        # per-host subdirectory: AOT CPU executables from another machine
+        # must never be loaded here (SIGILL risk — see host_cache_key)
+        keyed = os.path.join(os.path.expanduser(cache_dir),
+                             f"host-{host_cache_key()}")
+        jax.config.update("jax_compilation_cache_dir", keyed)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           min_compile_secs)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
