@@ -242,45 +242,165 @@ def cmd_run_all(args):
     return 1 if failures else 0
 
 
-def cmd_order(args):
-    """Convergence-order study (06_.../order.jl, 13_.../order.jl)."""
-    import os
-
+def _interp_1d(xc, xf, uf):
+    """Gridded linear interpolation of a fine-grid solution onto coarse
+    nodes (06_.../order.jl:24-27 interp_grid). For nested node grids the
+    coarse nodes coincide with fine nodes and this is exact subsampling."""
     import numpy as np
 
-    from cfd_julia_tpu.utils import plotting
+    return np.interp(np.asarray(xc), np.asarray(xf), np.asarray(uf))
 
-    os.makedirs(args.outdir, exist_ok=True)
-    ns = [int(v) for v in args.grids.split(",")]
-    errs = []
+
+def _interp_2d(xc, yc, xf, yf, U):
+    """Bilinear regular-grid interpolation (2D analogue of interp_grid)
+    via one axis at a time with precomputed weights."""
+    import numpy as np
+
+    U = np.asarray(U)
+
+    def along0(coords_c, coords_f, A):
+        cf = np.asarray(coords_f)
+        i = np.clip(np.searchsorted(cf, coords_c) - 1, 0, len(cf) - 2)
+        w = (np.asarray(coords_c) - cf[i]) / (cf[i + 1] - cf[i])
+        w = np.clip(w, 0.0, 1.0)[:, None] if A.ndim == 2 else np.clip(w, 0, 1)
+        return A[i] * (1 - w) + A[i + 1] * w
+
+    return along0(yc, yf, along0(xc, xf, U).T).T
+
+
+def _order_fields(args, ns):
+    """Per-grid (coords, u, exact_err) for the order studies.
+
+    exact_err is None when no closed-form solution applies (dirichlet
+    Burgers) — the --self grid-pair mode needs none."""
+    import numpy as np
+
+    out = []
     if args.family == "heat":
         from cfd_julia_tpu.models import heat1d
 
         for n in ns:
             cfg = heat1d.HeatConfig(nx=n, dt=min(0.0025, 0.1 / n**2),
                                     t_final=0.1, scheme=args.scheme)
-            errs.append(float(heat1d.solve(cfg).l2_error))
+            res = heat1d.solve(cfg)
+            out.append((np.asarray(res.x), np.asarray(res.u),
+                        float(res.l2_error)))
     elif args.family == "poisson":
         from cfd_julia_tpu.models import poisson2d
 
         for n in ns:
             cfg = poisson2d.PoissonConfig(nx=n, ny=n, solver=args.scheme,
                                           problem="sine32")
-            errs.append(float(poisson2d.solve(cfg).l2_error))
+            res = poisson2d.solve(cfg)
+            out.append(((np.asarray(res.x), np.asarray(res.y)),
+                        np.asarray(res.u), float(res.l2_error)))
     elif args.family == "burgers":
         from cfd_julia_tpu.models import burgers1d
 
+        bc = getattr(args, "bc", "periodic")
         for n in ns:
             cfg = burgers1d.BurgersConfig(nx=n, solver=args.scheme,
-                                          bc="periodic", dt=5e-5,
+                                          bc=bc, dt=5e-5,
                                           t_final=0.05, ns=1)
             res = burgers1d.solve(cfg)
-            u = np.sin(2 * np.pi * np.asarray(res.x))
-            for _ in range(60):
-                u = np.sin(2 * np.pi * (np.asarray(res.x) - u * 0.05))
-            errs.append(float(np.sqrt(np.mean((np.asarray(res.u) - u) ** 2))))
+            x = np.asarray(res.x)
+            err = None
+            if bc == "periodic":
+                u = np.sin(2 * np.pi * x)
+                for _ in range(60):
+                    u = np.sin(2 * np.pi * (x - u * 0.05))
+                err = float(np.sqrt(np.mean((np.asarray(res.u) - u) ** 2)))
+            out.append((x, np.asarray(res.u), err))
     else:
+        return None
+    return out
+
+
+def _self_convergence(ns, fields):
+    """Grid-pair self-convergence: no exact solution needed
+    (06_.../order.jl:53-75). For each consecutive grid triplet
+    (coarse, mid, fine) interpolate the two finer solutions onto the
+    coarse coordinates and form
+        e1 = |u_c - I(u_m)|,  e2 = |I(u_m) - I(u_f)|,
+        p  = log(e1/e2) / log(n_m/n_c)
+    in the 1-, 2- and inf-norms (the reference's `for ord in (1,2,Inf)`).
+
+    Returns rows of (n_c, n_m, n_f, norm_name, e1, e2, p)."""
+    import numpy as np
+
+    rows = []
+    for i in range(len(ns) - 2):
+        (cc, uc, _), (cm, um, _), (cf, uf, _) = fields[i:i + 3]
+        beta = ns[i + 1] / ns[i]
+        if isinstance(cc, tuple):  # 2D regular grid
+            um_i = _interp_2d(cc[0], cc[1], cm[0], cm[1], um)
+            uf_i = _interp_2d(cc[0], cc[1], cf[0], cf[1], uf)
+        else:
+            um_i = _interp_1d(cc, cm, um)
+            uf_i = _interp_1d(cc, cf, uf)
+        d1 = (uc - um_i).ravel()
+        d2 = (um_i - uf_i).ravel()
+        for name, ordv in (("1", 1), ("2", 2), ("inf", np.inf)):
+            e1 = float(np.linalg.norm(d1, ordv))
+            e2 = float(np.linalg.norm(d2, ordv))
+            p = float(np.log(e1 / e2) / np.log(beta)) if e1 > 0 and e2 > 0 \
+                else float("nan")
+            rows.append((ns[i], ns[i + 1], ns[i + 2], name, e1, e2, p))
+    return rows
+
+
+def cmd_order(args):
+    """Convergence-order study (06_.../order.jl, 13_.../order.jl).
+
+    Default mode measures error against the exact solution; --self runs
+    the reference's grid-pair study instead (interpolated error ratios
+    between consecutive grids, no exact solution required)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from cfd_julia_tpu.utils import plotting
+
+    # order studies measure discretization error down to ~1e-10; the
+    # fp32 default bottoms out near 1e-5 and reads as order 0 (run on
+    # CPU: JAX_PLATFORMS=cpu — TPUs have no native f64)
+    jax.config.update("jax_enable_x64", True)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    ns = [int(v) for v in args.grids.split(",")]
+    fields = _order_fields(args, ns)
+    if fields is None:
         print(f"unknown family {args.family}")
+        return 2
+
+    if args.self_pairs:
+        if len(ns) < 3:
+            print("--self needs at least 3 grids", file=sys.stderr)
+            return 2
+        rows = _self_convergence(ns, fields)
+        with open(os.path.join(args.outdir, "order_self.txt"), "w") as fh:
+            fh.write("# coarse mid fine norm e1 e2 p\n")
+            for r in rows:
+                fh.write("%d %d %d %s %r %r %.4f\n" % r)
+        # plot the L2 pair-error series vs coarse grid size
+        l2 = [r for r in rows if r[3] == "2"]
+        plotting.convergence_order(
+            [r[0] for r in l2], [r[4] for r in l2],
+            os.path.join(args.outdir, "order_self.png"),
+            slope_guides=(2, 5) if args.family == "burgers" else (2, 4),
+        )
+        print(f"{'coarse':>7s}{'mid':>7s}{'fine':>7s}{'norm':>6s}"
+              f"{'e1':>13s}{'e2':>13s}{'p':>8s}")
+        for r in rows:
+            print(f"{r[0]:7d}{r[1]:7d}{r[2]:7d}{r[3]:>6s}"
+                  f"{r[4]:13.4e}{r[5]:13.4e}{r[6]:8.2f}")
+        return 0
+
+    errs = [f[2] for f in fields]
+    if any(e is None for e in errs):
+        print("no exact solution for this family/bc; use --self",
+              file=sys.stderr)
         return 2
     orders = plotting.observed_orders(ns, errs)
     with open(os.path.join(args.outdir, "order.txt"), "w") as fh:
@@ -378,6 +498,14 @@ def main(argv=None):
     po.add_argument("--scheme", default=None)
     po.add_argument("--grids", default="32,64,128,256")
     po.add_argument("--outdir", default="out")
+    po.add_argument("--self", dest="self_pairs", action="store_true",
+                    help="grid-pair self-convergence: interpolate finer "
+                         "solutions onto each coarser grid and form error "
+                         "ratios; no exact solution needed "
+                         "(06_.../order.jl:53-75)")
+    po.add_argument("--bc", default="periodic",
+                    choices=["periodic", "dirichlet"],
+                    help="burgers only; dirichlet requires --self")
     pp = sub.add_parser("plot")
     pp.add_argument("rundir")
     pp.add_argument("--true-dir", default=None)

@@ -17,6 +17,41 @@ def test_order_study_heat_icp(tmp_path, capsys):
     assert (tmp_path / "order.png").exists()
 
 
+def _self_rows(path):
+    rows = [line.split() for line in path.read_text().splitlines()
+            if not line.startswith("#")]
+    return [(r[3], float(r[6])) for r in rows]  # (norm, p)
+
+
+def test_order_self_burgers_crweno_dirichlet(tmp_path):
+    """Grid-pair self-convergence (06_.../order.jl:53-75) on the
+    dirichlet CRWENO solve — the reference case with NO exact solution.
+    CRWENO-5 on the pre-shock smooth profile: observed p well above 3.5
+    in every norm (measured ~4.2-6.0 across the triplets)."""
+    rc = cli.main(["order", "burgers", "--scheme", "crweno", "--self",
+                   "--bc", "dirichlet", "--grids", "100,200,400",
+                   "--outdir", str(tmp_path)])
+    assert rc == 0
+    rows = _self_rows(tmp_path / "order_self.txt")
+    assert rows and all(p > 3.5 for _, p in rows), rows
+    assert (tmp_path / "order_self.png").exists()
+
+
+def test_order_self_poisson_fdm(tmp_path):
+    """FDM-eigenvalue FFT Poisson self-converges at order 2 without
+    consulting the exact solution (12_.../fft_p.jl discretization)."""
+    rc = cli.main(["order", "poisson", "--scheme", "fft", "--self",
+                   "--grids", "32,64,128", "--outdir", str(tmp_path)])
+    assert rc == 0
+    rows = _self_rows(tmp_path / "order_self.txt")
+    assert rows and all(abs(p - 2.0) < 0.3 for _, p in rows), rows
+
+
+def test_order_self_needs_three_grids(tmp_path):
+    assert cli.main(["order", "poisson", "--scheme", "fft", "--self",
+                     "--grids", "32,64", "--outdir", str(tmp_path)]) == 2
+
+
 def test_plot_cavity_and_heat(tmp_path):
     d1 = tmp_path / "cav"
     run.run_preset("cavity", outdir=str(d1), t_final=0.2)
