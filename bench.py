@@ -61,6 +61,50 @@ MG_BASELINE_SOLVE_S = 3.68
 HEADLINE_METRIC = "cavity_1024_steps_per_sec"
 RESULTS_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "results", "bench_last.json")
+# physics acceptance anchors (benchmarks/gen_physics_anchors.py): fp64
+# trajectory metrics at the exact (family, nx, total_steps) points the
+# workers produce.  CFD_BENCH_ANCHORS overrides for tests.
+ANCHORS_JSON = os.environ.get(
+    "CFD_BENCH_ANCHORS",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "benchmarks", "physics_anchors.json"))
+
+
+def _check_anchor(family: str, nx: int, total_steps: int, metrics: dict):
+    """Physics acceptance gate: compare the measured trajectory's
+    physical metrics against the committed fp64 anchor.
+
+    The race previously accepted any finite timing — a fast-but-wrong
+    variant (bad BC assembly, index shift, broken transform) could post
+    the headline number.  Legitimate variants sit orders below the gate:
+    fp32-vs-fp64 field deltas are ~4e-4 and the bf16x3 transform bound
+    is 2e-5 (BASELINE.md fp32 study, PERF.md precision bound) vs the
+    1% default tolerance; real corruption shifts psi_min / enstrophy by
+    tens of percent.
+
+    Returns "ok" or "no-anchor" (unknown grid/steps combination — e.g.
+    a --nx/--steps debug override); raises AssertionError on violation
+    so the worker subprocess dies and the race skips the variant."""
+    try:
+        with open(ANCHORS_JSON) as fh:
+            anchors = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return "no-anchor"
+    a = anchors.get(f"{family}:{nx}:{total_steps}")
+    if not a:
+        return "no-anchor"
+    tol = a.get("rel_tol", 0.01)
+    for key, ref in a.items():
+        if key in ("rel_tol", "note"):
+            continue
+        got = metrics[key]
+        rel = abs(got - ref) / max(abs(ref), 1e-30)
+        if not rel <= tol:  # NaN compares false -> rejected
+            raise AssertionError(
+                f"PHYSICS REJECT {family} {nx}^2 @{total_steps} steps: "
+                f"{key}={got!r} vs anchor {ref!r} "
+                f"(rel {rel:.3e} > tol {tol:g})")
+    return "ok"
 
 
 def _emit(value, vs_baseline, metric=HEADLINE_METRIC, **extra):
@@ -165,7 +209,7 @@ def _variant_name(worker, impl, prec, third):
 
 
 def worker_cavity(variant: str, nx: int, steps: int):
-    """Measure ONE cavity variant; return steps/s."""
+    """Measure ONE cavity variant; return (steps/s, physics metrics)."""
     import jax.numpy as jnp
     from cfd_julia_tpu.models import cavity
 
@@ -179,7 +223,11 @@ def worker_cavity(variant: str, nx: int, steps: int):
                              lambda s: float(s[0].sum()))
     assert bool(jnp.isfinite(state[0]).all()), \
         f"cavity ({variant}) went non-finite"
-    return sps
+    psi = state[1]
+    metrics = {"psi_min": float(psi.min()),
+               "psi_l2": float(jnp.sqrt((psi ** 2).mean()))}
+    metrics["physics"] = _check_anchor("cavity", nx, 2 * steps, metrics)
+    return sps, metrics
 
 
 def worker_ps23(variant: str, nx: int, steps: int):
@@ -200,7 +248,12 @@ def worker_ps23(variant: str, nx: int, steps: int):
     sps, hf = _timed_scan(step, hf, steps,
                           lambda s: float(jnp.abs(s).sum()))
     assert bool(jnp.isfinite(hf).all()), f"ps23 ({variant}) went non-finite"
-    return sps
+    w = jax.jit(lambda h: vortex.half_decode_packed(h, cfg.ny,
+                                                    jnp.float32))(hf)
+    metrics = {"wmax": float(jnp.abs(w).max()),
+               "enstrophy": float((w.astype(jnp.float32) ** 2).sum())}
+    metrics["physics"] = _check_anchor("ps23", nx, 2 * steps, metrics)
+    return sps, metrics
 
 
 def worker_mg(variant: str, nx: int, tol: float):
@@ -220,10 +273,25 @@ def worker_mg(variant: str, nx: int, tol: float):
     res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)  # compile
     float(res.rms)
     t0 = time.perf_counter()
-    res = multigrid.solve(f * (1.0 + 1e-6), u0, cfg.dx, cfg.dy, cfg=mgc)
+    f1 = f * (1.0 + 1e-6)
+    res = multigrid.solve(f1, u0, cfg.dx, cfg.dy, cfg=mgc)
     rel = float(res.rms / res.rms0)
     dt = time.perf_counter() - t0
     assert rel <= tol, f"did not reach tol ({rel:.2e})"
+    # independent residual recheck: recompute r = f - lap(u) with plain
+    # ops right here, NOT through the solver's own residual path, so a
+    # V-cycle that mis-tracks its rms cannot self-certify. 4x slack for
+    # summation-order fp32 differences.
+    def _rms(u):
+        lap = ((u[2:, 1:-1] - 2 * u[1:-1, 1:-1] + u[:-2, 1:-1]) / cfg.dx**2
+               + (u[1:-1, 2:] - 2 * u[1:-1, 1:-1] + u[1:-1, :-2]) / cfg.dy**2)
+        r = f1[1:-1, 1:-1] - lap
+        return float(jnp.sqrt((r ** 2).mean()))
+
+    rel_ind = _rms(res.u) / max(_rms(u0), 1e-30)
+    assert rel_ind <= 4 * tol, \
+        f"PHYSICS REJECT mg {nx}^2: independent residual " \
+        f"rel {rel_ind:.3e} > 4x tol {tol:g}"
     return dt, int(res.iterations)
 
 
@@ -234,11 +302,15 @@ def run_worker(args):
     configure_jax(cache_dir="~/.cache/jax_bench_cache", min_compile_secs=1.0)
     out = {"worker": args.worker, "variant": args.variant}
     if args.worker == "cavity":
-        out["value"] = worker_cavity(args.variant, args.nx, args.steps)
+        out["value"], metrics = worker_cavity(args.variant, args.nx,
+                                              args.steps)
         out["unit"] = "steps/s"
+        out.update(metrics)
     elif args.worker == "ps23":
-        out["value"] = worker_ps23(args.variant, args.nx, args.steps)
+        out["value"], metrics = worker_ps23(args.variant, args.nx,
+                                            args.steps)
         out["unit"] = "steps/s"
+        out.update(metrics)
     elif args.worker == "mg":
         dt, cycles = worker_mg(args.variant, args.nx, args.tol)
         out.update(value=dt, unit="s", cycles=cycles)
@@ -306,6 +378,8 @@ def race(worker: str, variants, nx: int, steps: int = 0, tol: float = 0.0,
             continue
         val = r["value"]
         extra = f" ({r['cycles']} V-cycles)" if "cycles" in r else ""
+        if r.get("physics"):
+            extra += f" [physics {r['physics']}]"
         print(f"# {worker} {nx}^2 {name}: {val:.4g} {r['unit']}{extra}",
               file=sys.stderr)
         if best is None or (val < best if minimize else val > best):

@@ -30,6 +30,59 @@ def test_worker_cavity_subprocess_contract():
     assert r.returncode == 0, r.stderr[-800:]
     out = _last_json_line(r.stdout)
     assert out["worker"] == "cavity" and out["value"] > 0
+    # no anchor exists for (32, 6): gate reports, does not reject
+    assert out["physics"] == "no-anchor"
+
+
+def test_check_anchor_gate(monkeypatch, tmp_path):
+    """Unit contract of the physics acceptance gate: within-tolerance
+    metrics pass, out-of-tolerance raise, unknown keys are no-anchor."""
+    p = tmp_path / "anchors.json"
+    p.write_text(json.dumps({"cavity:64:40": {
+        "psi_min": -1.0e-3, "psi_l2": 5.0e-4, "rel_tol": 0.01}}))
+    monkeypatch.setattr(bench, "ANCHORS_JSON", str(p))
+    ok = bench._check_anchor("cavity", 64, 40,
+                             {"psi_min": -1.0005e-3, "psi_l2": 5.002e-4})
+    assert ok == "ok"
+    assert bench._check_anchor("cavity", 128, 40, {}) == "no-anchor"
+    with pytest.raises(AssertionError, match="PHYSICS REJECT"):
+        bench._check_anchor("cavity", 64, 40,
+                            {"psi_min": -1.2e-3, "psi_l2": 5.002e-4})
+    # NaN must reject, never pass
+    with pytest.raises(AssertionError, match="PHYSICS REJECT"):
+        bench._check_anchor("cavity", 64, 40,
+                            {"psi_min": float("nan"), "psi_l2": 5e-4})
+
+
+def test_worker_physics_gate_end_to_end(tmp_path, monkeypatch):
+    """A corrupted variant CANNOT post a number: with a tampered anchor
+    standing in for a wrong-physics variant, the worker subprocess dies
+    with PHYSICS REJECT and race() records an error for it (VERDICT r3
+    item 8).  With the committed anchor the same run passes."""
+    # committed anchor: the true fp32 trajectory passes the gate
+    ok = bench.worker_cavity("fst,highest,xla", 64, 20)
+    assert ok[1]["physics"] == "ok"
+
+    # tampered anchor (= a variant whose physics drifted 10%): reject
+    tampered = dict(json.load(open(ROOT / "benchmarks" /
+                                   "physics_anchors.json")))
+    tampered["cavity:64:40"] = {
+        **tampered["cavity:64:40"],
+        "psi_min": tampered["cavity:64:40"]["psi_min"] * 1.10}
+    p = tmp_path / "tampered.json"
+    p.write_text(json.dumps(tampered))
+    monkeypatch.setattr(bench, "ANCHORS_JSON", str(p))
+    with pytest.raises(AssertionError, match="PHYSICS REJECT"):
+        bench.worker_cavity("fst,highest,xla", 64, 20)
+
+    # end-to-end through the race: the subprocess inherits the tampered
+    # anchors via CFD_BENCH_ANCHORS and the variant is skipped
+    monkeypatch.setenv("CFD_BENCH_ANCHORS", str(p))
+    results = []
+    best, name = bench.race("cavity", ["fst,highest,xla"], 64, steps=20,
+                            variant_timeout_s=280.0, results=results)
+    assert best is None and name is None
+    assert len(results) == 1 and "PHYSICS REJECT" in results[0]["error"]
 
 
 def test_worker_mg_subprocess_contract():
