@@ -62,22 +62,27 @@ mb = len(lower(lambda s: loop.run_steps(step, s, 10), h)) / 1e6
 assert mb < 3.0, f"ps23 step lowered text {mb:.1f} MB - embedded constants are back"
 print(f"ps23_size OK ({mb:.2f} MB)")
 
-# every raced cavity Poisson variant must cross-lower (Mosaic accepts
-# the program, incl. precision-HIGH dots) with a bounded program body.
+# EVERY raced cavity variant triple must cross-lower (Mosaic accepts
+# the program, incl. precision-HIGH dots) with a bounded program body —
+# derived from bench.CAVITY_VARIANTS itself so a new/typo'd race entry
+# fails HERE, not as an 840 s burned tunnel timeout on chip.
 # fst_half_mxu legitimately embeds the fixed <=128^2 DFT factor
 # literals (~5 MB of TEXT, flat in n — measured 4.94/4.99/5.09 MB at
 # 256/512/1024); anything O(n^2) would blow past 8 MB already at 256.
+import os, sys
+sys.path.insert(0, os.getcwd())
+import bench
 from cfd_julia_tpu.models import cavity
 
-for poisson in ("fst", "matmul", "matmul_bf16x3", "fst_half",
-                "fst_half_mxu"):
-    ccfg = cavity.CavityConfig(nx=256, ny=256, poisson=poisson)
+for poisson, prec, rhs in dict.fromkeys(bench.CAVITY_VARIANTS):
+    ccfg = cavity.CavityConfig(nx=256, ny=256, poisson=poisson,
+                               fft_precision=prec, rhs_impl=rhs)
     cstep = cavity.make_step_fn(ccfg)
     w = jnp.zeros((257, 257), jnp.float32)
     cst = (w, jnp.zeros_like(w), jnp.zeros((), jnp.float32))
     cmb = len(lower(lambda s: loop.run_steps(cstep, s, 10), cst)) / 1e6
     assert cmb < 8.0, f"cavity {poisson} lowered text {cmb:.1f} MB"
-    print(f"cavity_{poisson} OK ({cmb:.2f} MB)")
+    print(f"cavity_{poisson}:{prec}:{rhs} OK ({cmb:.2f} MB)")
 
 # raced MG V-cycle forms, with the smoother the chip will pick (pallas
 # at levels >= 512; the XLA-smoother forms are the ones that exceeded
@@ -89,21 +94,20 @@ _orig_pick = multigrid._pick_smoother
 multigrid._pick_smoother = lambda a, b, backend=None: _orig_pick(a, b, "tpu")
 mn = 1024
 mf = jnp.zeros((mn + 1, mn + 1), jnp.float32)
-for transfers, fused in (("matmul", "off"), ("matmul", "on"),
-                         ("conv", "off")):
+for transfers, fused, fmg in dict.fromkeys(bench.MG_VARIANTS):
     mcfg = multigrid.MGConfig(transfers=transfers, fused=fused,
-                              tol=1e-5, max_cycles=20)
+                              fmg=(fmg == "fmg"), tol=1e-5, max_cycles=20)
     mmb = len(lower(lambda ff, uu: multigrid.solve(
         ff, uu, 1.0 / mn, 1.0 / mn, cfg=mcfg).u, mf, jnp.zeros_like(mf))
     ) / 1e6
-    assert mmb < 8.0, f"mg {transfers},{fused} lowered text {mmb:.1f} MB"
-    print(f"mg_{transfers}_{fused} OK ({mmb:.2f} MB)")
+    assert mmb < 8.0, f"mg {transfers},{fused},{fmg} lowered {mmb:.1f} MB"
+    print(f"mg_{transfers}_{fused}_{fmg} OK ({mmb:.2f} MB)")
 multigrid._pick_smoother = _orig_pick
 
-# raced ps23 variants at the north-star size (the MXU-FFT forms embed
-# the fixed <=128^2 DFT factor literals: 6.37 MB of text, flat in n)
-for fft_impl, prec, pair in (("xla", "highest", "rowsfirst"),
-                             ("matmul", "high", "pack")):
+# EVERY raced ps23 variant at the north-star size (derived from
+# bench.PS_VARIANTS; the MXU-FFT forms embed the fixed <=128^2 DFT
+# factor literals: 6.37 MB of text, flat in n)
+for fft_impl, prec, pair in dict.fromkeys(bench.PS_VARIANTS):
     pcfg = vortex.VortexConfig(nx=2048, ny=2048, solver="ps23", dt=1e-3,
                                fft_impl=fft_impl, fft_precision=prec,
                                pair_impl=pair)
@@ -111,18 +115,30 @@ for fft_impl, prec, pair in (("xla", "highest", "rowsfirst"),
     ph = jnp.zeros((2, 2048, 1025), jnp.float32)
     pmb = len(lower(lambda s: loop.run_steps(pstep, s, 10), ph)) / 1e6
     assert pmb < 10.0, f"ps23 {fft_impl},{prec},{pair} {pmb:.1f} MB"
-    print(f"ps23_{fft_impl}_{pair} OK ({pmb:.2f} MB)")
+    print(f"ps23_{fft_impl}:{prec}:{pair} OK ({pmb:.2f} MB)")
 """
 
 
 def test_tpu_cross_lowering_preflight():
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent
+    if str(root) not in sys.path:
+        sys.path.insert(0, str(root))
+    import bench
+
     r = subprocess.run([sys.executable, "-c", _SCRIPT], text=True,
-                       capture_output=True, timeout=900)
+                       capture_output=True, timeout=1800, cwd=root)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
-    for name in ("redblack", "resrestrict", "smoothresrestrict",
-                 "prolsmooth", "arakawa", "euler", "ps23_size",
-                 "cavity_fst", "cavity_matmul", "cavity_matmul_bf16x3",
-                 "cavity_fst_half", "cavity_fst_half_mxu",
-                 "mg_matmul_off", "mg_matmul_on", "mg_conv_off",
-                 "ps23_xla_rowsfirst", "ps23_matmul_pack"):
+    names = ["redblack", "resrestrict", "smoothresrestrict",
+             "prolsmooth", "arakawa", "euler", "ps23_size"]
+    # coverage is DERIVED from the race lists: adding a bench variant
+    # without it cross-lowering fails here, never on the chip's clock
+    names += [f"cavity_{p}:{pr}:{rh}"
+              for p, pr, rh in dict.fromkeys(bench.CAVITY_VARIANTS)]
+    names += [f"mg_{t}_{fu}_{fm}"
+              for t, fu, fm in dict.fromkeys(bench.MG_VARIANTS)]
+    names += [f"ps23_{fi}:{pr}:{pa}"
+              for fi, pr, pa in dict.fromkeys(bench.PS_VARIANTS)]
+    for name in names:
         assert f"{name} OK" in r.stdout, (name, r.stdout)
