@@ -275,6 +275,9 @@ def _order_fields(args, ns):
     Burgers) — the --self grid-pair mode needs none."""
     import numpy as np
 
+    if not args.scheme:
+        args.scheme = {"heat": "icp", "poisson": "fft",
+                       "burgers": "weno"}[args.family]
     out = []
     if args.family == "heat":
         from cfd_julia_tpu.models import heat1d
