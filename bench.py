@@ -153,11 +153,20 @@ def _probe_devices(attempts: int = 3, timeout_s: int = 180) -> str | None:
     return None
 
 
-def _timed_scan(step, state, steps: int, sync):
+def _timed_scan(step, state, steps: int, sync, chunk: int = 50):
     import jax
+    import jax.numpy as jnp
     from cfd_julia_tpu.stepping import loop
 
-    run = jax.jit(lambda s: loop.run_steps(step, s, steps))
+    if steps % chunk == 0:
+        # chunked window with a TRACED outer trip count: the quick tier
+        # (50-step windows) and the full tier (1000) hash to the same
+        # program, so one multi-minute remote compile serves both
+        # (identical trajectory; loop.run_steps_dynamic docstring)
+        k = jnp.asarray(steps // chunk, jnp.int32)
+        run = lambda s: loop.run_steps_dynamic(step, s, k, chunk)
+    else:
+        run = jax.jit(lambda s: loop.run_steps(step, s, steps))
     state = run(state)          # compile + warm up
     sync(state)
     t0 = time.perf_counter()

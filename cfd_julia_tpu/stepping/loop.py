@@ -25,6 +25,29 @@ def run_steps(step_fn, state, nt: int):
     return final
 
 
+@partial(jax.jit, static_argnames=("step_fn", "chunk"))
+def run_steps_dynamic(step_fn, state, n_chunks, chunk: int):
+    """Advance `state` by n_chunks * chunk steps with n_chunks a RUNTIME
+    scalar: the inner chunk is a static `lax.scan`, the outer trip count
+    a traced `fori_loop`, so ONE compiled executable serves every window
+    length that is a multiple of `chunk` (identical trajectory to
+    run_steps(step_fn, state, n_chunks*chunk)).
+
+    Built for bench.py on the remote TPU, where each compile costs
+    minutes of tunnel time: the quick tier's 50-step windows and the
+    full tier's 1000-step windows hash to the SAME program, so the
+    persistent compile cache serves the second tier for free.  Loop
+    overhead is one while-iteration per `chunk` steps (<0.1%)."""
+    def inner(_, s):
+        def body(ss, __):
+            return step_fn(ss), None
+
+        s, _ = lax.scan(body, s, None, length=chunk)
+        return s
+
+    return lax.fori_loop(0, n_chunks, inner, state)
+
+
 def run_steps_with_checkpoints(step_fn, state, nt: int, every: int,
                                path: str, start_step: int = 0):
     """Advance nt steps, saving a resumable on-disk checkpoint every

@@ -98,6 +98,28 @@ def test_checkpoint_resume_equivalence(tmp_path):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(rest))
 
 
+def test_run_steps_dynamic_trajectory_and_shared_compile():
+    """run_steps_dynamic(k, chunk) walks the exact run_steps(k*chunk)
+    trajectory, and different window lengths hit ONE compiled executable
+    (the point: bench.py's quick 50-step and full 1000-step windows must
+    share a single multi-minute remote TPU compile)."""
+    from cfd_julia_tpu.models import heat1d
+    from cfd_julia_tpu.stepping import loop
+
+    cfg = heat1d.HeatConfig(scheme="rk3")
+    _, u0 = heat1d.initial_condition(cfg, jnp.float64)
+    step = heat1d.make_step_fn(cfg, jnp.float64)
+
+    before = loop.run_steps_dynamic._cache_size()
+    short = loop.run_steps_dynamic(step, u0, jnp.asarray(1, jnp.int32), 50)
+    long = loop.run_steps_dynamic(step, u0, jnp.asarray(4, jnp.int32), 50)
+    np.testing.assert_array_equal(np.asarray(short),
+                                  np.asarray(loop.run_steps(step, u0, 50)))
+    np.testing.assert_array_equal(np.asarray(long),
+                                  np.asarray(loop.run_steps(step, u0, 200)))
+    assert loop.run_steps_dynamic._cache_size() == before + 1
+
+
 def test_cli_list_and_run(tmp_path, capsys):
     from cfd_julia_tpu import cli
 
