@@ -3,8 +3,10 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Methodology: the whole measured window is a single `lax.scan` jit (zero
-host round-trips per step, the framework's real execution mode); a scalar
+Methodology: the whole measured window is ONE jit call — a 50-step
+`lax.scan` chunk inside a traced-count `fori_loop` (zero host
+round-trips per step, the framework's real execution mode; quick and
+full tiers share the compiled program, see loop.run_steps_dynamic); a scalar
 host pull after the scan forces materialization (plain block_until_ready
 returns early through the remote-TPU tunnel). dt is set diffusively stable
 for 1024^2 at Re=100 (nu dt/dx^2 <= 0.2 -> dt = 2e-5) and the result is
