@@ -71,6 +71,10 @@ def cmd_run(args, extra):
         i += 2
 
     if args.sweep:
+        if args.checkpoint_every or args.resume:
+            print("--checkpoint-every/--resume do not combine with "
+                  "--sweep (per-point runs are short)", file=sys.stderr)
+            return 2
         # one-invocation grid sweep, e.g. --sweep nx=100,200,400 — the
         # reference's in-script loops (weno_dirichlet.jl:158, fft_p.jl:48)
         # writing per-grid files into one directory
@@ -133,7 +137,9 @@ def cmd_run(args, extra):
         print(json.dumps(all_metrics, indent=2))
         return 0
 
-    metrics = run.run_preset(args.preset, outdir=args.outdir, **overrides)
+    metrics = run.run_preset(args.preset, outdir=args.outdir,
+                             checkpoint_every=args.checkpoint_every,
+                             resume=args.resume, **overrides)
     print(json.dumps(metrics, indent=2))
     return 0
 
@@ -474,6 +480,13 @@ def main(argv=None):
     pr = sub.add_parser("run")
     pr.add_argument("preset")
     pr.add_argument("--outdir", default="out")
+    pr.add_argument("--checkpoint-every", type=int, default=0,
+                    metavar="N", dest="checkpoint_every",
+                    help="save a resumable checkpoint to "
+                         "OUTDIR/checkpoint.npz every N steps "
+                         "(cavity family)")
+    pr.add_argument("--resume", action="store_true",
+                    help="continue from OUTDIR/checkpoint.npz if present")
     pr.add_argument("--sweep", default=None, metavar="FIELD=V1,V2,...",
                     help="run the preset once per value (reference-style "
                          "grid sweep): per-point subdirectories + "

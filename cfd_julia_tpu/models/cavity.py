@@ -20,6 +20,7 @@ moves in +x at the TOP wall (j = ny).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -264,8 +265,8 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
     return step
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _run(cfg: CavityConfig, w0, s0):
+@partial(jax.jit, static_argnames=("cfg", "nt"))
+def _run(cfg: CavityConfig, w0, s0, nt: int):
     step = make_step_fn(cfg)
 
     def body(state, _):
@@ -273,18 +274,55 @@ def _run(cfg: CavityConfig, w0, s0):
         return state, state[2]
 
     init = (w0, s0, jnp.zeros((), w0.dtype))
-    (w, s, _), rms_hist = lax.scan(body, init, None, length=cfg.nt)
+    (w, s, _), rms_hist = lax.scan(body, init, None, length=nt)
     return w, s, rms_hist
 
 
-def solve(cfg: CavityConfig, dtype=None) -> CavityResult:
+def solve(cfg: CavityConfig, dtype=None, checkpoint_every: int = 0,
+          checkpoint_path: str | None = None,
+          resume: bool = False) -> CavityResult:
+    """Integrate nt steps from rest (lid_driven_cavity.jl:58-118).
+
+    checkpoint_every/checkpoint_path: save a resumable on-disk
+    checkpoint (state + rms history + step count) every N steps —
+    crash recovery for multi-hour runs, a capability the reference
+    lacks (SURVEY §5).  resume: continue from checkpoint_path if it
+    exists (bit-for-bit identical to the uninterrupted run: the chunk
+    scans apply the same step function; the per-step rms is computed
+    from that step's psi change, so the carry reset is invisible)."""
+    import numpy as np
+
+    from cfd_julia_tpu.utils import checkpoint
+
     dtype = dtype or precision.default_dtype()
     x = jnp.linspace(0.0, 1.0, cfg.nx + 1, dtype=dtype)
     y = jnp.linspace(0.0, 1.0, cfg.ny + 1, dtype=dtype)
-    w0 = jnp.zeros((cfg.nx + 1, cfg.ny + 1), dtype)
-    s0 = jnp.zeros_like(w0)
-    w, s, rms_hist = _run(cfg, w0, s0)
-    return CavityResult(x=x, y=y, w=w, s=s, rms_history=rms_hist)
+    w = jnp.zeros((cfg.nx + 1, cfg.ny + 1), dtype)
+    s = jnp.zeros_like(w)
+    done = 0
+    hist = np.zeros((0,), np.asarray(jnp.zeros((), dtype)).dtype)
+
+    if resume:
+        if not checkpoint_path:
+            raise ValueError("resume requires checkpoint_path")
+        if os.path.exists(checkpoint_path):
+            (w, s, h), done = checkpoint.load_state(
+                checkpoint_path, (w, s, jnp.asarray(hist)))
+            hist = np.asarray(h)
+
+    while done < cfg.nt:
+        n = cfg.nt - done
+        if checkpoint_every:
+            n = min(checkpoint_every, n)
+        w, s, rms = _run(cfg, w, s, n)
+        hist = np.concatenate([hist, np.asarray(rms)])
+        done += n
+        if checkpoint_every and checkpoint_path:
+            jax.block_until_ready(s)
+            checkpoint.save_state(checkpoint_path,
+                                  (w, s, jnp.asarray(hist)), step=done)
+
+    return CavityResult(x=x, y=y, w=w, s=s, rms_history=jnp.asarray(hist))
 
 
 def centerline_velocities(res: CavityResult, cfg: CavityConfig):

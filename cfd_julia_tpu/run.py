@@ -18,13 +18,28 @@ from cfd_julia_tpu.models import (burgers1d, cavity as cavity_model,
 from cfd_julia_tpu.utils import io
 
 
-def run_preset(name: str, outdir: str = ".", dtype=None, **overrides):
-    """Run a named preset; returns the metrics dict."""
+def run_preset(name: str, outdir: str = ".", dtype=None,
+               checkpoint_every: int = 0, resume: bool = False,
+               **overrides):
+    """Run a named preset; returns the metrics dict.
+
+    checkpoint_every/resume: periodic on-disk checkpointing + restart
+    (outdir/checkpoint.npz) for the long 2D families — crash recovery
+    the reference lacks.  Currently: cavity."""
     preset = presets_lib.with_overrides(presets_lib.get(name), **overrides)
     os.makedirs(outdir, exist_ok=True)
     t0 = time.perf_counter()
     runner = _RUNNERS[preset.family]
-    metrics = runner(preset, outdir, dtype)
+    if checkpoint_every or resume:
+        if preset.family != "cavity":
+            raise ValueError(
+                f"--checkpoint-every/--resume support the cavity family; "
+                f"{name} is {preset.family} (use "
+                f"loop.run_steps_with_checkpoints for library-level runs)")
+        metrics = runner(preset, outdir, dtype,
+                         checkpoint_every=checkpoint_every, resume=resume)
+    else:
+        metrics = runner(preset, outdir, dtype)
     metrics["wall_time_s"] = time.perf_counter() - t0
     metrics["preset"] = name
     metrics["reference"] = preset.reference
@@ -103,9 +118,14 @@ def _run_poisson(preset, outdir, dtype):
     return m
 
 
-def _run_cavity(preset, outdir, dtype):
+def _run_cavity(preset, outdir, dtype, checkpoint_every: int = 0,
+                resume: bool = False):
     cfg = preset.cfg
-    res = cavity_model.solve(cfg, dtype)
+    res = cavity_model.solve(
+        cfg, dtype, checkpoint_every=checkpoint_every,
+        checkpoint_path=(os.path.join(outdir, "checkpoint.npz")
+                         if (checkpoint_every or resume) else None),
+        resume=resume)
     rms = np.asarray(res.rms_history)
     with open(os.path.join(outdir, "res_plot.txt"), "w") as f:
         for n, v in enumerate(rms, start=1):

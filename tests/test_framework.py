@@ -98,6 +98,57 @@ def test_checkpoint_resume_equivalence(tmp_path):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(rest))
 
 
+def test_cavity_checkpoint_resume_bitexact(tmp_path):
+    """Checkpointed + interrupted + resumed cavity run reproduces the
+    uninterrupted trajectory bit-for-bit, including the rms history."""
+    import dataclasses
+
+    from cfd_julia_tpu.models import cavity
+
+    ck = str(tmp_path / "ck.npz")
+    cfg50 = cavity.CavityConfig(nx=24, ny=24, dt=1e-3, t_final=0.05)
+    assert cfg50.nt == 50
+    cavity.solve(cfg50, jnp.float64, checkpoint_every=20,
+                 checkpoint_path=ck)  # "crash" after completing 50
+    cfg100 = dataclasses.replace(cfg50, t_final=0.1)
+    resumed = cavity.solve(cfg100, jnp.float64, checkpoint_path=ck,
+                           resume=True)
+    full = cavity.solve(cfg100, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(resumed.w),
+                                  np.asarray(full.w))
+    np.testing.assert_array_equal(np.asarray(resumed.s),
+                                  np.asarray(full.s))
+    np.testing.assert_array_equal(np.asarray(resumed.rms_history),
+                                  np.asarray(full.rms_history))
+
+
+def test_cavity_checkpoint_cli(tmp_path):
+    """CLI surface: run with --checkpoint-every writes checkpoint.npz;
+    --resume on a finished run is a no-op returning the same metrics;
+    unsupported family and --sweep combinations are rejected."""
+    from cfd_julia_tpu import cli
+
+    d = tmp_path / "cav"
+    rc = cli.main(["run", "cavity", "--outdir", str(d),
+                   "--checkpoint-every", "25", "--t_final", "0.05",
+                   "--dt", "0.001", "--nx", "16", "--ny", "16"])
+    assert rc == 0
+    assert (d / "checkpoint.npz").exists()
+    m1 = json.load(open(d / "metrics.json"))
+    rc = cli.main(["run", "cavity", "--outdir", str(d), "--resume",
+                   "--t_final", "0.05", "--dt", "0.001",
+                   "--nx", "16", "--ny", "16"])
+    assert rc == 0
+    m2 = json.load(open(d / "metrics.json"))
+    assert m2["psi_min"] == m1["psi_min"]
+    with pytest.raises(ValueError, match="cavity family"):
+        run.run_preset("heat_cn", outdir=str(tmp_path / "h"),
+                       checkpoint_every=10)
+    assert cli.main(["run", "cavity", "--outdir", str(d),
+                     "--checkpoint-every", "5",
+                     "--sweep", "nx=16,24"]) == 2
+
+
 def test_run_steps_dynamic_trajectory_and_shared_compile():
     """run_steps_dynamic(k, chunk) walks the exact run_steps(k*chunk)
     trajectory, and different window lengths hit ONE compiled executable
