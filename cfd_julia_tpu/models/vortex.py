@@ -22,6 +22,7 @@ TGV validation: 64^2, Re=10, dt=0.01, t=1 (tgv.jl:92-146).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -550,7 +551,16 @@ def make_spectral_step(cfg: VortexConfig, dtype, mesh=None):
 
 # ----------------------------------------------------------------- driver
 
-def solve(cfg: VortexConfig, dtype=None) -> VortexResult:
+def solve(cfg: VortexConfig, dtype=None, checkpoint_every: int = 0,
+          checkpoint_path: str | None = None,
+          resume: bool = False) -> VortexResult:
+    """Integrate nt steps collecting cfg.ns snapshots (vm.jl:60-88).
+
+    checkpoint_every/checkpoint_path/resume: periodic resumable on-disk
+    checkpoints (state + snapshots so far + chunk count), cadence
+    rounded UP to the snapshot interval; the chunked host loop applies
+    the same per-chunk scans as the single-jit path, so an interrupted
+    and resumed run reproduces it bit-for-bit."""
     dtype = dtype or precision.default_dtype()
     w0 = initial_vorticity(cfg, dtype)
     x = jnp.arange(cfg.nx + 1, dtype=dtype) * cfg.dx
@@ -561,21 +571,51 @@ def solve(cfg: VortexConfig, dtype=None) -> VortexResult:
         rhs = lambda w: fdm_rhs(w, cfg.dx, cfg.dy, cfg.re,
                                 impl=cfg.rhs_impl, fft_impl=cfg.fft_impl)
         step = lambda w: ssprk3.ssprk3_step(rhs, w, cfg.dt)
-        w, snaps = loop.run_steps_with_snapshots(step, w0, cfg.nt, every)
-        snapshots = jnp.concatenate([w0[None], snaps], axis=0)
+        state0, observe, decode = w0, None, lambda s: s
     else:
         # packed (real) state at every jit boundary — complex64 params/
         # outputs are rejected by the remote-TPU backend (spectral.pack_c)
         step = make_spectral_step_half_packed(cfg, dtype)
-        h0 = jax.jit(half_init_packed)(w0)
+        state0 = jax.jit(half_init_packed)(w0)
         observe = lambda h: half_decode_packed(h, cfg.ny, dtype)
-        hf, snaps = loop.run_steps_with_snapshots(
-            step, h0, cfg.nt, every, observe=observe
-        )
-        w = jax.jit(lambda h: half_decode_packed(h, cfg.ny, dtype))(hf)
-        snapshots = jnp.concatenate([w0[None], snaps], axis=0)
+        decode = jax.jit(observe)
 
-    return VortexResult(x=x, y=y, w=w, snapshots=snapshots)
+    if not (checkpoint_every or resume):
+        state, snaps = loop.run_steps_with_snapshots(
+            step, state0, cfg.nt, every, observe=observe)
+        return VortexResult(x=x, y=y, w=decode(state),
+                            snapshots=jnp.concatenate([w0[None], snaps]))
+
+    from cfd_julia_tpu.utils import checkpoint
+
+    if (checkpoint_every or resume) and not checkpoint_path:
+        raise ValueError("checkpointing requires checkpoint_path")
+    n_chunks = cfg.nt // every
+    rem = cfg.nt - n_chunks * every
+    obs = decode  # per-chunk snapshot = decoded state (identity for fdm)
+    state, done, parts = state0, 0, []
+    snaps_like = jnp.zeros((0,) + w0.shape, dtype)
+    if resume and os.path.exists(checkpoint_path):
+        (state, prev), done = checkpoint.load_state(
+            checkpoint_path, (state0, snaps_like))
+        if np.shape(prev)[0]:
+            parts = [np.asarray(prev)]
+    per_ckpt = max(1, -(-checkpoint_every // every)) if checkpoint_every \
+        else n_chunks
+    while done < n_chunks:
+        state = loop.run_steps(step, state, every)
+        parts.append(np.asarray(obs(state))[None])
+        done += 1
+        if done % per_ckpt == 0 or done == n_chunks:
+            jax.block_until_ready(state)
+            arr = jnp.asarray(np.concatenate(parts)) if parts \
+                else snaps_like
+            checkpoint.save_state(checkpoint_path, (state, arr), step=done)
+    if rem:
+        state = loop.run_steps(step, state, rem)
+    snaps = (jnp.asarray(np.concatenate(parts)) if parts else snaps_like)
+    return VortexResult(x=x, y=y, w=decode(state),
+                        snapshots=jnp.concatenate([w0[None], snaps]))
 
 
 def tgv_error(cfg: VortexConfig, res: VortexResult):

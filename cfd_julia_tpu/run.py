@@ -31,11 +31,12 @@ def run_preset(name: str, outdir: str = ".", dtype=None,
     t0 = time.perf_counter()
     runner = _RUNNERS[preset.family]
     if checkpoint_every or resume:
-        if preset.family != "cavity":
+        if preset.family not in ("cavity", "vortex"):
             raise ValueError(
-                f"--checkpoint-every/--resume support the cavity family; "
-                f"{name} is {preset.family} (use "
-                f"loop.run_steps_with_checkpoints for library-level runs)")
+                f"--checkpoint-every/--resume support the long 2D "
+                f"families (cavity, vortex); {name} is {preset.family} "
+                f"(use loop.run_steps_with_checkpoints for library-level "
+                f"runs)")
         metrics = runner(preset, outdir, dtype,
                          checkpoint_every=checkpoint_every, resume=resume)
     else:
@@ -146,9 +147,14 @@ def _run_cavity(preset, outdir, dtype, checkpoint_every: int = 0,
             "psi_min": float(np.asarray(res.s).min())}
 
 
-def _run_vortex(preset, outdir, dtype):
+def _run_vortex(preset, outdir, dtype, checkpoint_every: int = 0,
+                resume: bool = False):
     cfg = preset.cfg
-    res = vortex.solve(cfg, dtype)
+    res = vortex.solve(
+        cfg, dtype, checkpoint_every=checkpoint_every,
+        checkpoint_path=(os.path.join(outdir, "checkpoint.npz")
+                         if (checkpoint_every or resume) else None),
+        resume=resume)
     io.write_vortex_snapshots(outdir, res.x, res.y, res.snapshots)
     m = {"wmax_final": float(np.abs(np.asarray(res.w)).max())}
     if cfg.ic == "tgv":

@@ -141,12 +141,36 @@ def test_cavity_checkpoint_cli(tmp_path):
     assert rc == 0
     m2 = json.load(open(d / "metrics.json"))
     assert m2["psi_min"] == m1["psi_min"]
-    with pytest.raises(ValueError, match="cavity family"):
+    with pytest.raises(ValueError, match="cavity, vortex"):
         run.run_preset("heat_cn", outdir=str(tmp_path / "h"),
                        checkpoint_every=10)
     assert cli.main(["run", "cavity", "--outdir", str(d),
                      "--checkpoint-every", "5",
                      "--sweep", "nx=16,24"]) == 2
+
+
+@pytest.mark.parametrize("solver", ["fdm", "ps23"])
+def test_vortex_checkpoint_resume_bitexact(tmp_path, solver):
+    """Interrupted + resumed vortex run (either solver family)
+    reproduces the checkpoint-free solve exactly, snapshots included."""
+    import dataclasses
+
+    from cfd_julia_tpu.models import vortex
+
+    ck = str(tmp_path / f"v_{solver}.npz")
+    cfg_half = vortex.VortexConfig(nx=32, ny=32, solver=solver, dt=1e-3,
+                                   t_final=0.02, ns=4)
+    assert cfg_half.nt == 20
+    vortex.solve(cfg_half, jnp.float64, checkpoint_every=5,
+                 checkpoint_path=ck)  # "crash" after 20 of 40 steps
+    cfg_full = dataclasses.replace(cfg_half, t_final=0.04, ns=8)
+    resumed = vortex.solve(cfg_full, jnp.float64, checkpoint_path=ck,
+                           resume=True)
+    full = vortex.solve(cfg_full, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(resumed.w),
+                                  np.asarray(full.w))
+    np.testing.assert_array_equal(np.asarray(resumed.snapshots),
+                                  np.asarray(full.snapshots))
 
 
 def test_run_steps_dynamic_trajectory_and_shared_compile():
