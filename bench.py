@@ -200,12 +200,16 @@ PS_VARIANTS = (
     ("matmul", "highest", "pack"),
 )
 
-# (transfers, fused, fmg): matmul transfers measured 12x faster in the
-# full V-cycle on chip (vcycle_matmul_pallas 18.2 ms vs conv_pallas
-# 220.5 ms at 4096^2, microbench_full_20260816T213326.log); conv kept as
-# one cross-check entry.
+# (transfers, fused, fmg[, smoother]): matmul transfers measured 12x
+# faster in the full V-cycle on chip (vcycle_matmul_pallas 18.2 ms vs
+# conv_pallas 220.5 ms at 4096^2, microbench_full_20260816T213326.log);
+# conv kept as one cross-check entry.  cheb = Chebyshev-Jacobi smoother:
+# ~30% fewer fine-level stencil passes to tol than RB (5 cycles x 5
+# passes vs 4 x 9 at 512^2 CPU), pure dataflow (no mask constants, no
+# HTTP-413 exposure) — on-chip race decides vs the Pallas-fused RB slab.
 MG_VARIANTS = (
     ("matmul", "off", "plain"), ("matmul", "off", "fmg"),
+    ("matmul", "off", "plain", "cheb"),
     ("matmul", "on", "plain"), ("conv", "off", "plain"),
 )
 
@@ -274,9 +278,12 @@ def worker_mg(variant: str, nx: int, tol: float):
     from cfd_julia_tpu.models import poisson2d
     from cfd_julia_tpu.poisson import multigrid
 
-    transfers, fused, fmg = variant.split(",")
+    parts = variant.split(",")
+    transfers, fused, fmg = parts[:3]
+    smoother = parts[3] if len(parts) > 3 else "auto"
     mgc = multigrid.MGConfig(tol=tol, max_cycles=20, transfers=transfers,
-                             fused=fused, fmg=(fmg == "fmg"))
+                             fused=fused, fmg=(fmg == "fmg"),
+                             smoother=smoother)
     cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="multigrid",
                                   problem="poly", mg=mgc)
     _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)

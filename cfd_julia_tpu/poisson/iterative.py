@@ -84,6 +84,47 @@ def jacobi_sweep(u, f, dx: float, dy: float, mask):
     return u + r / (-2.0 / dx**2 - 2.0 / dy**2)
 
 
+def chebyshev_smooth(u, f, dx: float, dy: float, iters: int, imask,
+                     lmax: float = 2.0, lmin_frac: float = 0.25):
+    """Degree-`iters` Chebyshev-accelerated Jacobi smoother.
+
+    Damps the upper eigenvalue band [lmin_frac*lmax, lmax] of the
+    Jacobi-preconditioned 5-pt Laplacian (spectrum in (0, 2); classic
+    MG smoothing choice — Saad, Iterative Methods, alg. 12.1, with the
+    textbook 1/4 band split used by hypre/AMG practice).
+
+    TPU rationale vs red-black GS: each degree is ONE unmasked 5-pt
+    residual + elementwise axpys — no checkerboard masks and half the
+    stencil passes of an RB sweep (which needs two masked half-updates
+    so black sees fresh red), and the whole update is pure dataflow
+    that GSPMD shards without the mask constants that once pushed
+    remote compiles over the HTTP body limit.  Smoothing quality per
+    stencil pass is comparable (raced on chip via bench MG_VARIANTS)."""
+    if iters <= 0:
+        return u
+    diag = -2.0 / dx**2 - 2.0 / dy**2
+    b = lmax
+    a = lmax * lmin_frac
+    theta = 0.5 * (b + a)
+    delta = 0.5 * (b - a)
+    sigma1 = theta / delta
+
+    r = residual_full(f, u, dx, dy, imask)
+    d = (r / diag) / theta
+    u = u + d
+    rho = jnp.asarray(1.0 / sigma1, u.dtype)
+
+    def body(_, c):
+        uu, dd, rr = c
+        z = residual_full(f, uu, dx, dy, imask) / diag
+        rho_n = 1.0 / (2.0 * sigma1 - rr)
+        dd = rho_n * rr * dd + (2.0 * rho_n / delta) * z
+        return uu + dd, dd, rho_n.astype(uu.dtype)
+
+    u, _, _ = lax.fori_loop(0, iters - 1, body, (u, d, rho))
+    return u
+
+
 def redblack_sweep(u, f, dx: float, dy: float, mask_red, mask_black):
     """One red-black Gauss-Seidel sweep: two masked half-updates; the black
     half sees the freshly updated red values (data-parallel true GS)."""

@@ -32,6 +32,7 @@ from jax import lax
 from cfd_julia_tpu.poisson.iterative import (
     IterativeResult,
     _rms_from_full,
+    chebyshev_smooth,
     color_masks,
     interior_mask,
     redblack_sweep,
@@ -168,12 +169,14 @@ def restriction_reshape(r):
 
 def smooth(u, f, dx: float, dy: float, iters: int, masks,
            impl: str = "xla"):
-    """`iters` red-black GS sweeps (replaces gauss_seidel_mg).
+    """`iters` smoothing sweeps (replaces gauss_seidel_mg).
 
-    impl="pallas" uses the fused single-pass kernel
+    impl="pallas" uses the fused single-pass RB kernel
     (ops.pallas_kernels.redblack_sweep_fused): both colour half-updates run
     on one VMEM-resident row slab — ~1.5x the best XLA roll+mask form and
-    ~10x the naive one at 4096^2."""
+    ~10x the naive one at 4096^2.  impl="cheb" is the Chebyshev-Jacobi
+    smoother (iterative.chebyshev_smooth): one unmasked stencil pass per
+    degree, pure dataflow."""
     if impl == "pallas":
         from cfd_julia_tpu.ops import pallas_kernels
 
@@ -181,6 +184,8 @@ def smooth(u, f, dx: float, dy: float, iters: int, masks,
             u, f, dx, dy, iters, interpret=False
         )
     mr, mb = masks
+    if impl == "cheb":
+        return chebyshev_smooth(u, f, dx, dy, iters, mr + mb)
     return lax.fori_loop(
         0, iters, lambda _, uu: redblack_sweep(uu, f, dx, dy, mr, mb), u
     )
@@ -216,6 +221,10 @@ class MGConfig:
                                # the best measured V-cycle is the unfused
                                # matmul-transfer form (18.2 ms @ 4096^2);
                                # "on" stays raced in bench.py
+    smoother: str = "auto"     # auto (RB-GS: Pallas on big TPU levels,
+                               # XLA rolls elsewhere) | cheb (Chebyshev-
+                               # Jacobi: unmasked dataflow, one stencil
+                               # pass per degree — raced in bench.py)
     fmg: bool = False          # full-multigrid (nested-iteration) start:
                                # solve the homogenized problem coarsest-
                                # first, one V-cycle per level on the way
@@ -266,6 +275,8 @@ def _build_levels(nx, ny, dx, dy, n_levels):
 def _use_fused(cfg: MGConfig, nx: int, ny: int, halo_rows: int) -> bool:
     from cfd_julia_tpu.ops import pallas_kernels
 
+    if cfg.smoother == "cheb":
+        return False                # fused edges embed RB half-sweeps
     if halo_rows > pallas_kernels.GUARD:
         return False               # sweeps exceed the halo guard
     if cfg.fused == "on":
@@ -290,7 +301,10 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
     from cfd_julia_tpu.ops import pallas_kernels
 
     n = len(levels)
-    impls = impls or [_pick_smoother(l[0], l[1]) for l in levels]
+    if cfg.smoother == "cheb":
+        impls = ["cheb"] * n
+    else:
+        impls = impls or [_pick_smoother(l[0], l[1]) for l in levels]
     restrict_fn, prolong_fn = _pick_transfers(cfg.transfers)
 
     # descend: pre-smooth -> residual -> restrict -> next level from zero.
@@ -361,7 +375,8 @@ def fmg_start(f, u0, levels, masks, imasks, cfg: MGConfig):
     nxc, nyc, dxc, dyc = levels[n - 1]
     v = jnp.zeros((nxc + 1, nyc + 1), f.dtype)
     v = smooth(v, gs[n - 1], dxc, dyc, cfg.v2, masks[n - 1],
-               _pick_smoother(nxc, nyc))
+               "cheb" if cfg.smoother == "cheb"
+               else _pick_smoother(nxc, nyc))
     for k in range(n - 2, -1, -1):
         v = prolongation(v) * imasks[k]
         v = v_cycle(v, gs[k], levels[k:], masks[k:], imasks[k:], cfg)

@@ -158,6 +158,58 @@ def test_mg_transfer_configs_converge():
         assert float(res.rms / res.rms0) <= 1e-9, transfers
 
 
+def test_mg_chebyshev_smoother_converges():
+    """Chebyshev-Jacobi smoothed V-cycles (smoother='cheb', raced in
+    bench MG_VARIANTS) reach the bench tolerance (1e-5, worker_mg's
+    regime) within +2 cycles of the RB baseline — at ~half the stencil
+    passes per cycle, that is fewer total passes — and land on the same
+    solution.  Also covers the fmg composition.  (At much deeper
+    tolerances cheb's asymptotic factor is worse: 10 vs 7 cycles to
+    1e-9 at 128^2 — the race targets the bench regime.)"""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    cycles = {}
+    sols = {}
+    for smoother, fmg in (("auto", False), ("cheb", False), ("cheb", True)):
+        mgc = multigrid.MGConfig(tol=1e-5, max_cycles=30,
+                                 smoother=smoother, fmg=fmg)
+        cfg = poisson2d.PoissonConfig(nx=128, ny=128, solver="multigrid",
+                                      problem="poly", mg=mgc)
+        _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float64)
+        u0 = poisson2d._dirichlet_init(ue)
+        res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
+        assert float(res.rms / res.rms0) <= 1e-5, (smoother, fmg)
+        cycles[(smoother, fmg)] = int(res.iterations)
+        sols[(smoother, fmg)] = np.asarray(res.u)
+    assert cycles[("cheb", False)] <= cycles[("auto", False)] + 2, cycles
+    scale = np.abs(sols[("auto", False)]).max()
+    d = np.abs(sols[("cheb", False)] - sols[("auto", False)]).max()
+    assert d / scale < 1e-4, d / scale  # same solution to tol level
+
+
+def test_chebyshev_smooth_damps_high_frequencies():
+    """Smoothing property: degree-3 Chebyshev-Jacobi knocks down a
+    highest-frequency error mode by >10x in one call (the band the
+    smoother targets), leaving the boundary ring untouched."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.poisson import iterative
+
+    n = 64
+    dx = 1.0 / n
+    i = jnp.arange(n + 1)
+    # (-1)^{i+j} checkerboard: the lambda~2 extreme of D^{-1}A
+    e0 = ((-1.0) ** (i[:, None] + i[None, :]))
+    imask = iterative.interior_mask(n, n, e0.dtype)
+    e0 = e0 * imask
+    f = jnp.zeros_like(e0)  # exact solution is 0 -> error IS the state
+    e1 = iterative.chebyshev_smooth(e0, f, dx, dx, 3, imask)
+    assert float(jnp.abs(e1).max()) < 0.1 * float(jnp.abs(e0).max())
+    np.testing.assert_array_equal(np.asarray(e1 * (1 - imask)),
+                                  np.zeros_like(e1))
+
+
 def test_mg_fused_edges_match_xla_vcycle():
     """fused="on" (Pallas level-edge kernels, interpret on CPU) converges
     identically to the XLA path — same V-cycle math, same iteration

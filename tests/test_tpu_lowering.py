@@ -94,14 +94,17 @@ _orig_pick = multigrid._pick_smoother
 multigrid._pick_smoother = lambda a, b, backend=None: _orig_pick(a, b, "tpu")
 mn = 1024
 mf = jnp.zeros((mn + 1, mn + 1), jnp.float32)
-for transfers, fused, fmg in dict.fromkeys(bench.MG_VARIANTS):
+for v in dict.fromkeys(bench.MG_VARIANTS):
+    transfers, fused, fmg = v[:3]
+    smoother = v[3] if len(v) > 3 else "auto"
     mcfg = multigrid.MGConfig(transfers=transfers, fused=fused,
-                              fmg=(fmg == "fmg"), tol=1e-5, max_cycles=20)
+                              fmg=(fmg == "fmg"), smoother=smoother,
+                              tol=1e-5, max_cycles=20)
     mmb = len(lower(lambda ff, uu: multigrid.solve(
         ff, uu, 1.0 / mn, 1.0 / mn, cfg=mcfg).u, mf, jnp.zeros_like(mf))
     ) / 1e6
-    assert mmb < 8.0, f"mg {transfers},{fused},{fmg} lowered {mmb:.1f} MB"
-    print(f"mg_{transfers}_{fused}_{fmg} OK ({mmb:.2f} MB)")
+    assert mmb < 8.0, f"mg {'_'.join(v)} lowered {mmb:.1f} MB"
+    print(f"mg_{'_'.join(v)} OK ({mmb:.2f} MB)")
 multigrid._pick_smoother = _orig_pick
 
 # EVERY raced ps23 variant at the north-star size (derived from
@@ -136,8 +139,7 @@ def test_tpu_cross_lowering_preflight():
     # without it cross-lowering fails here, never on the chip's clock
     names += [f"cavity_{p}:{pr}:{rh}"
               for p, pr, rh in dict.fromkeys(bench.CAVITY_VARIANTS)]
-    names += [f"mg_{t}_{fu}_{fm}"
-              for t, fu, fm in dict.fromkeys(bench.MG_VARIANTS)]
+    names += [f"mg_{'_'.join(v)}" for v in dict.fromkeys(bench.MG_VARIANTS)]
     names += [f"ps23_{fi}:{pr}:{pa}"
               for fi, pr, pa in dict.fromkeys(bench.PS_VARIANTS)]
     for name in names:
