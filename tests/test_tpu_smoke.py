@@ -102,6 +102,28 @@ def test_multigrid_fp32(tpu):
     assert np.isfinite(np.asarray(res.u)).all()
 
 
+def test_multigrid_cheb_fp32(tpu):
+    """The raced Chebyshev-smoothed form (matmul,off,plain,cheb) runs
+    on the real backend at 512^2 before the 4096^2 bench race trusts
+    it: converges to tol and matches the RB solve within fp32 slack."""
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    sols = {}
+    for smoother in ("auto", "cheb"):
+        mgc = multigrid.MGConfig(tol=1e-5, max_cycles=20,
+                                 transfers="matmul", smoother=smoother)
+        cfg = poisson2d.PoissonConfig(nx=512, ny=512, solver="multigrid",
+                                      problem="poly", mg=mgc)
+        _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
+        u0 = poisson2d._dirichlet_init(ue)
+        res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
+        assert float(res.rms / res.rms0) <= 1e-5, smoother
+        sols[smoother] = np.asarray(res.u)
+    scale = np.abs(sols["auto"]).max()
+    assert np.abs(sols["cheb"] - sols["auto"]).max() / scale < 1e-3
+
+
 def test_pallas_redblack_compiled(tpu):
     """The fused red-black smoother compiles through Mosaic (not
     interpret mode) and matches the XLA sweep."""
