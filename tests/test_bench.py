@@ -95,6 +95,28 @@ def test_worker_mg_subprocess_contract():
     assert out["unit"] == "s" and out["value"] > 0 and out["cycles"] >= 1
 
 
+def test_worker_mg_rejects_self_certifying_solver(monkeypatch):
+    """worker_mg's independent residual recheck: a solver that lies
+    about its own rms (returns the INITIAL guess with a tiny reported
+    residual) must be rejected, because the worker re-derives the
+    residual with plain stencil ops outside the solver's code path."""
+    import types
+
+    from cfd_julia_tpu.poisson import multigrid
+
+    real_solve = multigrid.solve
+
+    def lying_solve(f, u0, dx, dy, cfg=None):
+        r = real_solve(f, u0, dx, dy, cfg=cfg)
+        # claim convergence but hand back the unconverged initial guess
+        return types.SimpleNamespace(u=u0, rms=r.rms0 * 1e-9, rms0=r.rms0,
+                                     iterations=r.iterations)
+
+    monkeypatch.setattr(multigrid, "solve", lying_solve)
+    with pytest.raises(AssertionError, match="PHYSICS REJECT mg"):
+        bench.worker_mg("matmul,off,plain", 64, 1e-5)
+
+
 def test_cached_fallback_serves_tpu_battery(monkeypatch, tmp_path, capsys):
     p = tmp_path / "last.json"
     p.write_text(json.dumps({
