@@ -99,15 +99,19 @@ def ps23_case(nx: int, steps: int, fft_impl: str, prec: str):
 
 
 def mg_case(nx: int):
-    """Fused Pallas V-cycle vs XLA V-cycle: solve to the fp32 floor and
-    compare solutions + iteration counts."""
+    """Fused Pallas V-cycle vs XLA V-cycle, plus the Chebyshev-smoothed
+    form: solve to the fp32 floor and compare solutions + iteration
+    counts."""
     from cfd_julia_tpu.models import poisson2d
     from cfd_julia_tpu.poisson import multigrid
 
     us = {}
     its = {}
-    for tag, fused in {"base": "off", "variant": "auto"}.items():
-        mgc = multigrid.MGConfig(tol=1e-5, max_cycles=30, fused=fused)
+    for tag, (fused, smoother) in {"base": ("off", "auto"),
+                                   "variant": ("auto", "auto"),
+                                   "cheb": ("off", "cheb")}.items():
+        mgc = multigrid.MGConfig(tol=1e-5, max_cycles=30, fused=fused,
+                                 smoother=smoother)
         cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="multigrid",
                                       problem="poly", mg=mgc)
         _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
@@ -117,9 +121,11 @@ def mg_case(nx: int):
         its[tag] = int(res.iterations)
     scale = np.abs(us["base"]).max()
     return {"case": f"mg_{nx}_fused", "cycles_base": its["base"],
-            "cycles_variant": its["variant"],
+            "cycles_variant": its["variant"], "cycles_cheb": its["cheb"],
             "rel_linf_u": float(np.abs(us["variant"] - us["base"]).max()
-                                / scale)}
+                                / scale),
+            "rel_linf_u_cheb": float(np.abs(us["cheb"] - us["base"]).max()
+                                     / scale)}
 
 
 def _jobs(quick: bool):
