@@ -204,14 +204,16 @@ def bench_mg_vcycle(n):
     # measured-winner family first (vcycle_matmul_pallas_off 18.2 ms at
     # 4096^2); XLA-smoother combos only below the remote-compile body
     # limit (4096^2 XLA forms die with HTTP 413)
-    combos = [("matmul", "pallas", "off"), ("matmul", "pallas", "on"),
+    combos = [("matmul", "pallas", "off"), ("matmul", "cheb", "off"),
+              ("matmul", "pallas", "on"),
               ("conv", "pallas", "off"), ("reshape", "pallas", "off"),
               ("conv", "pallas", "on")]
     if n <= 1024:
         combos += [("conv", "xla", "off"), ("matmul", "xla", "off")]
     for transfers, smoother, fused in combos:
-            mgc = multigrid.MGConfig(tol=1e-30, max_cycles=1,
-                                     transfers=transfers, fused=fused)
+            mgc = multigrid.MGConfig(
+                tol=1e-30, max_cycles=1, transfers=transfers, fused=fused,
+                smoother="cheb" if smoother == "cheb" else "auto")
             cfg = poisson2d.PoissonConfig(nx=n, ny=n, solver="multigrid",
                                           problem="poly", mg=mgc)
             _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
@@ -221,8 +223,11 @@ def bench_mg_vcycle(n):
                      for l in levels]
             imasks = [multigrid.interior_mask(l[0], l[1], jnp.float32)
                       for l in levels]
-            impls = [smoother if min(l[0], l[1]) >= 512 else "xla"
-                     for l in levels]
+            # cheb applies at every level (cfg-derived inside v_cycle);
+            # the RB forms pin pallas only where the slab pays off
+            impls = None if smoother == "cheb" else \
+                [smoother if min(l[0], l[1]) >= 512 else "xla"
+                 for l in levels]
             tag = f"vcycle_{transfers}_{smoother}_{fused}_{n}"
             try:
                 timed(tag,
