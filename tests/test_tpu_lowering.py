@@ -84,6 +84,13 @@ for poisson, prec, rhs in dict.fromkeys(bench.CAVITY_VARIANTS):
     assert cmb < 8.0, f"cavity {poisson} lowered text {cmb:.1f} MB"
     print(f"cavity_{poisson}:{prec}:{rhs} OK ({cmb:.2f} MB)")
 
+# the bench's shared-compile window form (traced outer trip count over
+# a static inner scan) must lower for TPU too — it wraps EVERY raced
+# timing window (loop.run_steps_dynamic)
+lower(lambda s, k: loop.run_steps_dynamic(cstep, s, k, 50),
+      cst, jnp.asarray(2, jnp.int32))
+print("dynamic_window OK")
+
 # raced MG V-cycle forms, with the smoother the chip will pick (pallas
 # at levels >= 512; the XLA-smoother forms are the ones that exceeded
 # the remote-compile HTTP body limit on chip).  4096^2 forms measured
@@ -134,7 +141,8 @@ def test_tpu_cross_lowering_preflight():
                        capture_output=True, timeout=1800, cwd=root)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     names = ["redblack", "resrestrict", "smoothresrestrict",
-             "prolsmooth", "arakawa", "euler", "ps23_size"]
+             "prolsmooth", "arakawa", "euler", "ps23_size",
+             "dynamic_window"]
     # coverage is DERIVED from the race lists: adding a bench variant
     # without it cross-lowering fails here, never on the chip's clock
     names += [f"cavity_{p}:{pr}:{rh}"
