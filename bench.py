@@ -99,7 +99,14 @@ def _check_anchor(family: str, nx: int, total_steps: int, metrics: dict):
     for key, ref in a.items():
         if key in ("rel_tol", "note"):
             continue
-        got = metrics[key]
+        got = metrics.get(key)
+        if got is None:
+            # an anchor key the worker did not measure (typo'd or
+            # hand-edited anchors file) must reject loudly, not die as
+            # an opaque KeyError in the subprocess
+            raise AssertionError(
+                f"PHYSICS REJECT {family} {nx}^2 @{total_steps} steps: "
+                f"anchor metric {key!r} was not measured by the worker")
         rel = abs(got - ref) / max(abs(ref), 1e-30)
         if not rel <= tol:  # NaN compares false -> rejected
             raise AssertionError(
@@ -339,17 +346,18 @@ def run_worker(args):
 
 
 def _spawn_variant(worker: str, variant: str, nx: int, steps: int,
-                   tol: float, timeout_s: float):
+                   tol: float, timeout_s: float, env: dict | None = None):
     """Run one variant in a subprocess; return its result dict or an
     error dict.  Isolation contract: a poisoned TPU client, a hang, an
     HTTP-413 oversized compile, or an OOM in one variant must cost only
-    that variant."""
+    that variant.  env: full environment override (the CPU relative
+    study pins JAX_PLATFORMS=cpu this way)."""
     cmd = [sys.executable, os.path.abspath(__file__),
            "--worker", worker, "--variant", variant,
            "--nx", str(nx), "--steps", str(steps), "--tol", str(tol)]
     try:
         p = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout_s)
+                           timeout=timeout_s, env=env)
     except subprocess.TimeoutExpired:
         return {"worker": worker, "variant": variant,
                 "error": f"TIMEOUT {timeout_s:.0f}s"}

@@ -25,7 +25,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -36,31 +35,24 @@ import bench  # noqa: E402
 
 
 def _pallas(variant: str) -> bool:
-    return "pallas" in variant or variant.endswith(",on,plain") \
-        or variant.endswith(",on,fmg")
+    """Variants whose hot path is a Pallas kernel: interpreter-mode-only
+    on CPU, orders slower, not comparable.  mg variants are
+    transfers,fused,fmg[,smoother] — parse the fused FIELD rather than
+    suffix-matching so 4-field tuples are classified correctly."""
+    parts = variant.split(",")
+    return "pallas" in parts or (len(parts) >= 3 and parts[1] == "on")
 
 
 def run_variant(worker: str, variant: str, nx: int, steps: int, tol: float,
                 timeout_s: float):
-    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
-    cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
-           "--worker", worker, "--variant", variant,
-           "--nx", str(nx), "--steps", str(steps), "--tol", str(tol)]
+    """bench._spawn_variant pinned to the CPU backend, wall-stamped —
+    one implementation of the worker-subprocess contract, not two."""
     t0 = time.perf_counter()
-    try:
-        p = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout_s, env=env)
-    except subprocess.TimeoutExpired:
-        return {"worker": worker, "variant": variant,
-                "error": f"TIMEOUT {timeout_s:.0f}s"}
-    for line in reversed(p.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            r = json.loads(line)
-            r["wall_s"] = round(time.perf_counter() - t0, 1)
-            return r
-    tail = (p.stderr or "").strip().splitlines()
-    return {"worker": worker, "variant": variant,
-            "error": (tail[-1] if tail else f"rc={p.returncode}")[-300:]}
+    r = bench._spawn_variant(worker, variant, nx, steps, tol, timeout_s,
+                             env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    if "error" not in r:
+        r["wall_s"] = round(time.perf_counter() - t0, 1)
+    return r
 
 
 def main():

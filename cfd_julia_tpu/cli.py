@@ -367,26 +367,37 @@ def cmd_order(args):
     import os
 
     import jax
-    import numpy as np
-
-    from cfd_julia_tpu.utils import plotting
-
-    # order studies measure discretization error down to ~1e-10; the
-    # fp32 default bottoms out near 1e-5 and reads as order 0 (run on
-    # CPU: JAX_PLATFORMS=cpu — TPUs have no native f64)
-    jax.config.update("jax_enable_x64", True)
 
     os.makedirs(args.outdir, exist_ok=True)
     ns = [int(v) for v in args.grids.split(",")]
+    if args.self_pairs and len(ns) < 3:
+        # argv error: reject before any (possibly minutes-long) solve
+        print("--self needs at least 3 grids", file=sys.stderr)
+        return 2
+
+    # order studies measure discretization error down to ~1e-10; the
+    # fp32 default bottoms out near 1e-5 and reads as order 0 (run on
+    # CPU: JAX_PLATFORMS=cpu — TPUs have no native f64).  Restored on
+    # exit so a long-lived caller keeps its own precision default.
+    prev_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        return _cmd_order_body(args, ns)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+
+
+def _cmd_order_body(args, ns):
+    import os
+
+    from cfd_julia_tpu.utils import plotting
+
     fields = _order_fields(args, ns)
     if fields is None:
         print(f"unknown family {args.family}")
         return 2
 
     if args.self_pairs:
-        if len(ns) < 3:
-            print("--self needs at least 3 grids", file=sys.stderr)
-            return 2
         rows = _self_convergence(ns, fields)
         with open(os.path.join(args.outdir, "order_self.txt"), "w") as fh:
             fh.write("# coarse mid fine norm e1 e2 p\n")

@@ -70,7 +70,15 @@ def configure_jax(cache_dir: str | None = "~/.cache/jax_test_cache",
                   # check jax.devices(<platform>) themselves
     if cache_dir:
         # per-host subdirectory: AOT CPU executables from another machine
-        # must never be loaded here (SIGILL risk — see host_cache_key)
+        # must never be loaded here (SIGILL risk — see host_cache_key).
+        # Legacy entries at the unkeyed root are deliberately ORPHANED,
+        # not migrated: the cache roots are shared across heterogeneous
+        # hosts (MULTICHIP_r03 evidence), entries carry no backend/host
+        # marker in their filenames, so a migration would import exactly
+        # the foreign CPU AOT artifacts this keying eliminates.  Cost: a
+        # one-time cold compile per program on each host (and the bench
+        # programs changed this round anyway — chunked windows + physics
+        # metrics — so the old entries were already stale).
         keyed = os.path.join(os.path.expanduser(cache_dir),
                              f"host-{host_cache_key()}")
         jax.config.update("jax_compilation_cache_dir", keyed)

@@ -302,9 +302,9 @@ def solve(cfg: CavityConfig, dtype=None, checkpoint_every: int = 0,
     done = 0
     hist = np.zeros((0,), np.asarray(jnp.zeros((), dtype)).dtype)
 
+    if (checkpoint_every or resume) and not checkpoint_path:
+        raise ValueError("checkpointing requires checkpoint_path")
     if resume:
-        if not checkpoint_path:
-            raise ValueError("resume requires checkpoint_path")
         if os.path.exists(checkpoint_path):
             (w, s, h), done = checkpoint.load_state(
                 checkpoint_path, (w, s, jnp.asarray(hist)))

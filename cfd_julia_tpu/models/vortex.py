@@ -596,10 +596,29 @@ def solve(cfg: VortexConfig, dtype=None, checkpoint_every: int = 0,
     state, done, parts = state0, 0, []
     snaps_like = jnp.zeros((0,) + w0.shape, dtype)
     if resume and os.path.exists(checkpoint_path):
-        (state, prev), done = checkpoint.load_state(
+        # the checkpoint records the ABSOLUTE step count: a resume under
+        # a different snapshot cadence (nt or ns changed so that `every`
+        # no longer divides it) or a shorter run cannot be silently
+        # misinterpreted as a chunk count
+        (state, prev), step_ct = checkpoint.load_state(
             checkpoint_path, (state0, snaps_like))
+        if step_ct % every:
+            raise ValueError(
+                f"checkpoint at step {step_ct} is incompatible with the "
+                f"current snapshot interval {every} (= nt//ns — snapshot "
+                f"times would not line up); rerun with the original "
+                f"nt/ns or restart without --resume")
+        if step_ct > cfg.nt:
+            raise ValueError(
+                f"checkpoint at step {step_ct} is beyond this run's "
+                f"nt={cfg.nt}; restart without --resume")
+        done = step_ct // every
         if np.shape(prev)[0]:
             parts = [np.asarray(prev)]
+        if np.shape(prev)[0] != done:
+            raise ValueError(
+                f"checkpoint snapshot count {np.shape(prev)[0]} does not "
+                f"match its step count {step_ct} at interval {every}")
     per_ckpt = max(1, -(-checkpoint_every // every)) if checkpoint_every \
         else n_chunks
     while done < n_chunks:
@@ -610,7 +629,8 @@ def solve(cfg: VortexConfig, dtype=None, checkpoint_every: int = 0,
             jax.block_until_ready(state)
             arr = jnp.asarray(np.concatenate(parts)) if parts \
                 else snaps_like
-            checkpoint.save_state(checkpoint_path, (state, arr), step=done)
+            checkpoint.save_state(checkpoint_path, (state, arr),
+                                  step=done * every)
     if rem:
         state = loop.run_steps(step, state, rem)
     snaps = (jnp.asarray(np.concatenate(parts)) if parts else snaps_like)

@@ -173,6 +173,37 @@ def test_vortex_checkpoint_resume_bitexact(tmp_path, solver):
                                   np.asarray(full.snapshots))
 
 
+def test_checkpoint_contract_rejections(tmp_path):
+    """A resume whose snapshot cadence no longer matches the checkpoint
+    (nt changed, ns kept) must be rejected, NOT silently returned stale
+    (found in review: done was stored in chunk units and a doubled
+    t_final skipped integration entirely); a shorter-than-checkpoint run
+    is rejected; checkpoint_every without a path raises for both
+    families."""
+    import dataclasses
+
+    from cfd_julia_tpu.models import cavity, vortex
+
+    ck = str(tmp_path / "v.npz")
+    cfg = vortex.VortexConfig(nx=32, ny=32, solver="fdm", dt=1e-3,
+                              t_final=0.02, ns=4)  # nt=20, every=5
+    vortex.solve(cfg, jnp.float64, checkpoint_every=5, checkpoint_path=ck)
+    # t_final doubled with ns kept -> every 5 -> 10: snapshots misalign
+    with pytest.raises(ValueError, match="snapshot"):
+        vortex.solve(dataclasses.replace(cfg, t_final=0.04),
+                     jnp.float64, checkpoint_path=ck, resume=True)
+    # run shorter than the checkpointed progress
+    with pytest.raises(ValueError, match="beyond"):
+        vortex.solve(dataclasses.replace(cfg, t_final=0.01),
+                     jnp.float64, checkpoint_path=ck, resume=True)
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        vortex.solve(cfg, jnp.float64, checkpoint_every=5)
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        cavity.solve(cavity.CavityConfig(nx=16, ny=16, dt=1e-3,
+                                         t_final=0.01),
+                     jnp.float64, checkpoint_every=5)
+
+
 def test_run_steps_dynamic_trajectory_and_shared_compile():
     """run_steps_dynamic(k, chunk) walks the exact run_steps(k*chunk)
     trajectory, and different window lengths hit ONE compiled executable
