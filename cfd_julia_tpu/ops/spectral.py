@@ -220,6 +220,10 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
     eigen="spectral": exact eigenvalues -(kx^2 + ky^2) with physical
     wavenumbers (fft_s.jl:8-37).
     The mean mode is zeroed (solvability / gauge fixing)."""
+    if impl not in ("xla", "matmul"):
+        # a typo'd variant name must never silently run (and get
+        # benchmarked as) the default implementation
+        raise ValueError(f"unknown fft impl {impl!r} (xla | matmul)")
     nx, ny = f.shape[-2], f.shape[-1]
     dtype = f.dtype
     use_matmul = impl == "matmul" and mesh is None  # matmul path is
@@ -232,12 +236,11 @@ def fft_poisson_periodic(f, dx: float, dy: float, eigen: str = "fdm",
         fwd, inv = (lambda x: fft2(x, mesh)), (lambda x: ifft2(x, mesh))
     e = fwd(f.astype(complex_for(dtype)) if use_matmul else f)
     if eigen == "fdm":
-        ix = jnp.arange(nx, dtype=dtype)
-        iy = jnp.arange(ny, dtype=dtype)
-        kx = (2 * jnp.pi / nx) * jnp.where(ix < nx // 2, ix, ix - nx)
-        ky = (2 * jnp.pi / ny) * jnp.where(iy < ny // 2, iy, iy - ny)
-        kx = kx.at[0].set(eps)
-        ky = ky.at[0].set(eps)
+        # index-space wavenumbers 2 pi i / n = fft_wavenumber_index at
+        # dx=1 (numpy build-time constants — the jnp version cost eager
+        # device ops incl. two scatters per solver build)
+        kx = fft_wavenumber_index(nx, 1.0, dtype, eps)
+        ky = fft_wavenumber_index(ny, 1.0, dtype, eps)
         aa = -2.0 / dx**2 - 2.0 / dy**2
         bb = 2.0 / dx**2
         cc = 2.0 / dy**2
@@ -321,9 +324,19 @@ def dst1(v, axis: int = -1, mesh=None, impl: str = "rfft",
     because DST rows are independent — the non-transform axis is zero-padded
     up to a device-count multiple first, so the constraint sharding is even
     (ragged shardings miscompile through the CPU FFT path)."""
+    if impl not in ("rfft", "half", "matmul", "half_mxu"):
+        # a typo'd variant name must never silently run (and get
+        # benchmarked as) the default odd-extension path
+        raise ValueError(f"unknown DST impl {impl!r} "
+                         "(rfft | half | matmul | half_mxu)")
     v = jnp.moveaxis(v, axis, -1)
     m = v.shape[-1]
     n0 = None
+    if mesh is not None and v.ndim != 2:
+        # the pencil constraint below is only built for the 2D case; a
+        # batched sharded DST would silently skip it and can lower into
+        # XLA's partitioned-FFT path (broken on CPU, module header)
+        raise NotImplementedError("dst1 with a mesh expects a 2D array")
     if mesh is not None and v.ndim == 2:
         ndev = mesh.devices.size
         n0 = v.shape[0]
@@ -413,6 +426,16 @@ def dealias_mask_23(nx: int, ny: int):
     return keep_x[:, None] & keep_y[None, :]
 
 
+def _require_even_32(nx: int, ny: int):
+    """The 3/2-rule block moves assume even nx/ny: odd sizes would split
+    a frequency row across the positive/negative blocks and come back
+    one row short (shape (nx-1, ...)) — fail loudly, not downstream."""
+    if nx % 2 or ny % 2:
+        raise ValueError(
+            f"3/2-rule dealiasing requires even grid sizes, got "
+            f"({nx}, {ny}); use the 2/3-rule solver for odd grids")
+
+
 def pad_32(fhat, nxe: int, nye: int):
     """Zero-pad an (nx, ny) spectrum into an (nxe, nye) spectrum (3/2-rule
     dealiasing, pseudospectral_32_rule.jl:124-153), preserving Parseval
@@ -422,6 +445,7 @@ def pad_32(fhat, nxe: int, nye: int):
     frequency blocks): scatters (.at[].set) are 6-25x slower than dataflow
     on TPU and miscompile on FFT outputs under GSPMD."""
     nx, ny = fhat.shape[-2], fhat.shape[-1]
+    _require_even_32(nx, ny)
     hx, hy = nx // 2, ny // 2
     zc = jnp.zeros(fhat.shape[:-1] + (nye - ny,), fhat.dtype)
     cols = jnp.concatenate([fhat[..., :, :hy], zc, fhat[..., :, hy:]],
@@ -448,6 +472,7 @@ def truncate_32_half(h_e, nx: int, ny: int):
     which is the *negative* frequency -ny/2 on the fine grid
     (truncate_32 keeps columns [nye-hy:], i.e. -hy..-1); in half layout
     that is conj(h_e[(nxe - i) % nxe, +hy])."""
+    _require_even_32(nx, ny)
     nxe = h_e.shape[-2]
     hx, hy = nx // 2, ny // 2
     rows = jnp.concatenate([h_e[..., :hx, :], h_e[..., nxe - hx :, :]],
@@ -462,6 +487,7 @@ def truncate_32_half(h_e, nx: int, ny: int):
 
 def truncate_32(fhat_e, nx: int, ny: int):
     """Inverse of pad_32: gather the retained modes back to (nx, ny)."""
+    _require_even_32(nx, ny)
     nxe, nye = fhat_e.shape[-2], fhat_e.shape[-1]
     hx, hy = nx // 2, ny // 2
     rows = jnp.concatenate(

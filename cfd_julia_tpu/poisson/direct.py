@@ -41,18 +41,31 @@ def sine_matrix(n: int, size: int, dtype):
     to a field whose walls and padding are zero both transforms the
     interior and keeps the zero ring — no slicing in or out.
 
-    The argument is reduced by sin's period BEFORE it grows: r*c in
-    int32 mod 2n (exact for n*size < 2^31 — far beyond any viable dense
-    size), so the fp32 argument stays <= 2 pi and entries are accurate
-    to ~3e-7 instead of the ~3e-4 an unreduced fp32 pi*r*c/n product
-    carries at n=1024.  Kept as traced iota ops, not an embedded
-    constant: a 1025^2 fp32 literal adds ~4 MB to the program body,
-    which the remote-compile tunnel rejects at large sizes (HTTP 413)."""
+    The argument is reduced by sin's period BEFORE it grows (see
+    _sine_entries), so the fp32 argument stays <= 2 pi and entries are
+    accurate to ~3e-7 instead of the ~3e-4 an unreduced fp32 pi*r*c/n
+    product carries at n=1024.  Kept as traced iota ops, not an
+    embedded constant: a 1025^2 fp32 literal adds ~4 MB to the program
+    body, which the remote-compile tunnel rejects at large sizes
+    (HTTP 413)."""
     ri = jnp.arange(size, dtype=jnp.int32)[:, None]
     ci = jnp.arange(size, dtype=jnp.int32)[None, :]
-    m = (ri * ci) % (2 * n)
-    s = jnp.sin(jnp.pi * m.astype(dtype) / n)
+    s = _sine_entries(ri, ci, n, dtype)
     return jnp.where((ri < n) & (ci < n), s, jnp.zeros((), dtype))
+
+
+def _sine_entries(ri, ci, n: int, dtype):
+    """sin(pi * (ri*ci mod 2n) / n) with the product period-reduced in
+    int32 BEFORE the fp cast — the shared fp32-accuracy-critical recipe
+    behind every dense DST matrix here (commit f4dd5e5 had to patch two
+    divergent copies; keep ONE).
+
+    Exactness bound: ri*ci is computed in int32 before the mod, so the
+    guard is (max index)^2 < 2^31 — i.e. dense sizes up to ~46k per
+    side — NOT n*size (the product wraps before the reduction can
+    help).  Far beyond any viable dense transform either way."""
+    m = (ri * ci) % (2 * n)
+    return jnp.sin(jnp.pi * m.astype(dtype) / n)
 
 
 def solve_fst_matmul_padded(f, nx: int, ny: int, dx: float, dy: float,
@@ -107,11 +120,8 @@ def solve_fst_matmul_interior(f, nx: int, ny: int, dx: float, dy: float,
     g = f[1:nx, 1:ny]
 
     def sine_interior(n):
-        # period-reduced argument (see sine_matrix): exact int32 r*c mod
-        # 2n keeps the fp32 sin argument <= 2 pi -> ~3e-7-accurate entries
         k = jnp.arange(1, n, dtype=jnp.int32)
-        m = (k[:, None] * k[None, :]) % (2 * n)
-        return jnp.sin(jnp.pi * m.astype(dtype) / n)
+        return _sine_entries(k[:, None], k[None, :], n, dtype)
 
     sx = sine_interior(nx)
     sy = sine_interior(ny)

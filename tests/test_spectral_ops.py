@@ -133,3 +133,35 @@ def test_wavespace_guard():
     assert k2[0, 0] == pytest.approx(2e-12, rel=1e-6)  # eps^2 + eps^2
     assert k2[1, 0] == pytest.approx(1.0 + 1e-12, rel=1e-6)
     assert k2[8, 8] == pytest.approx(128.0, rel=1e-12)  # (-8)^2 + (-8)^2
+
+
+def test_unknown_impl_names_rejected():
+    """A typo'd variant name must never silently run (and get
+    benchmarked as) the default implementation (review finding)."""
+    with pytest.raises(ValueError, match="unknown DST impl"):
+        spectral.dst1(jnp.ones((4, 7)), impl="half-mxu")
+    with pytest.raises(ValueError, match="unknown fft impl"):
+        spectral.fft_poisson_periodic(jnp.ones((8, 8)), 0.1, 0.1,
+                                      impl="mxu")
+
+
+def test_32_rule_rejects_odd_sizes():
+    """Odd grids would come back a row short / frequency-misplaced from
+    the 3/2-rule block moves; the guard fails loudly instead."""
+    with pytest.raises(ValueError, match="even grid sizes"):
+        spectral.truncate_32(jnp.zeros((13, 13), jnp.complex64), 9, 9)
+    with pytest.raises(ValueError, match="even grid sizes"):
+        spectral.pad_32(jnp.zeros((9, 9), jnp.complex64), 14, 14)
+    with pytest.raises(ValueError, match="even grid sizes"):
+        spectral.truncate_32_half(jnp.zeros((13, 7), jnp.complex64), 9, 9)
+
+
+def test_dst1_mesh_batched_rejected():
+    """The pencil constraint is only built for 2D; a batched sharded DST
+    must not silently skip it (it could lower into the broken
+    partitioned-FFT path)."""
+    import jax
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices("cpu")[:1]), ("d",))
+    with pytest.raises(NotImplementedError, match="2D"):
+        spectral.dst1(jnp.ones((2, 4, 7)), mesh=mesh)
