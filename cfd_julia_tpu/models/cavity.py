@@ -118,6 +118,10 @@ def _wall_bc_fields(s, dx: float, dy: float, order: int):
     sxp, sxp2 = jnp.roll(s, 1, 0), jnp.roll(s, 2, 0)     # s[i-1], s[i-2]
     sym, sym2 = jnp.roll(s, -1, 1), jnp.roll(s, -2, 1)
     syp, syp2 = jnp.roll(s, 1, 1), jnp.roll(s, 2, 1)
+    if order not in (1, 2):
+        raise ValueError("bc_order must be 1 or 2")  # same contract as
+        # assemble_with_wall_bc — the two step formulations must not
+        # diverge on an invalid config
     if order == 1:
         return (-2.0 * sxm / dx**2,
                 -2.0 * sxp / dx**2,
@@ -206,6 +210,11 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
         def rhs_interior(w, s):
             return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
+    if cfg.poisson not in ("fst", "matmul", "matmul_bf16x3", "fst_mxu",
+                           "fst_half", "fst_half_mxu"):
+        # a typo'd variant name must never silently run (and get
+        # benchmarked as) the default solver
+        raise ValueError(f"unknown poisson solver {cfg.poisson!r}")
     if mesh is not None and cfg.poisson not in ("fst", "fst_half"):
         raise ValueError(
             f"poisson={cfg.poisson!r} is single-device only; the mesh-"
@@ -309,6 +318,14 @@ def solve(cfg: CavityConfig, dtype=None, checkpoint_every: int = 0,
             (w, s, h), done = checkpoint.load_state(
                 checkpoint_path, (w, s, jnp.asarray(hist)))
             hist = np.asarray(h)
+            if done is None or len(hist) != done:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} has no/inconsistent "
+                    f"step record (step={done}, rms entries={len(hist)})")
+            if done > cfg.nt:
+                raise ValueError(
+                    f"checkpoint at step {done} is beyond this run's "
+                    f"nt={cfg.nt}; restart without --resume")
 
     while done < cfg.nt:
         n = cfg.nt - done

@@ -76,13 +76,32 @@ class VortexConfig:
     def nt(self) -> int:
         return round(self.t_final / self.dt)
 
+    def __post_init__(self):
+        # a typo'd variant selector must never silently run (and get
+        # benchmarked as) the default implementation
+        _check = (("solver", ("fdm", "hybrid", "ps32", "ps23")),
+                  ("ic", ("vm", "tgv")),
+                  ("rhs_impl", ("xla", "pallas")),
+                  ("fft_impl", ("xla", "matmul")),
+                  ("fft_precision", ("highest", "high")),
+                  ("pair_impl", ("pack", "rowsfirst")))
+        for name, allowed in _check:
+            if getattr(self, name) not in allowed:
+                raise ValueError(f"unknown {name} "
+                                 f"{getattr(self, name)!r} (one of "
+                                 f"{' | '.join(allowed)})")
+        if self.ns < 1:
+            raise ValueError("ns (snapshot count) must be >= 1")
+
 
 @dataclasses.dataclass
 class VortexResult:
     x: jnp.ndarray            # nx+1 nodes (periodic wrap included)
     y: jnp.ndarray
     w: jnp.ndarray            # final vorticity (nx, ny) unique nodes
-    snapshots: jnp.ndarray    # (ns+1, nx, ny)
+    snapshots: jnp.ndarray    # (nt//every + 1, nx, ny) incl. the IC,
+                              # every = max(1, nt//ns): ns+1 rows when
+                              # ns divides nt
 
 
 # ------------------------------------------------------------------- ICs
@@ -191,11 +210,7 @@ def _deriv_spectra(wf, k2, kx, ky):
     ky0 = jnp.where(iy == 0, 0.0, ky)
     # drop the Nyquist row/column entirely: its placement under the 3/2-rule
     # pad (one-sided negative block, pad_32) cannot be Hermitian
-    nyq = jnp.asarray(
-        ((nx_ % 2 != 0) | (ix != nx_ // 2))[:, None]
-        & ((ny_ % 2 != 0) | (iy != ny_ // 2))[None, :]
-    )
-    wf = wf * nyq
+    wf = wf * _nyquist_mask(nx_, ny_)
     ikx = 1j * kx0[:, None]
     iky = 1j * ky0[None, :]
     return ikx * wf / k2, iky * wf, iky * wf / k2, ikx * wf
@@ -639,11 +654,14 @@ def solve(cfg: VortexConfig, dtype=None, checkpoint_every: int = 0,
 
 
 def tgv_error(cfg: VortexConfig, res: VortexResult):
-    """L2/max error vs the analytic TGV decay at t_final (tgv.jl:129-139)."""
+    """L2/max error vs the analytic TGV decay (tgv.jl:129-139), evaluated
+    at the time actually integrated, nt*dt — when dt does not divide
+    t_final evenly, comparing at t_final would charge the solver a
+    spurious decay mismatch that is not a discretization error."""
     dtype = res.w.dtype
     x = jnp.arange(cfg.nx, dtype=dtype) * cfg.dx
     y = jnp.arange(cfg.ny, dtype=dtype) * cfg.dy
     X, Y = jnp.meshgrid(x, y, indexing="ij")
-    ue = tgv_exact(X, Y, cfg.t_final, cfg.re, cfg.tgv_n)
+    ue = tgv_exact(X, Y, cfg.nt * cfg.dt, cfg.re, cfg.tgv_n)
     err = res.w - ue
     return jnp.sqrt(jnp.mean(err**2)), jnp.max(jnp.abs(err))

@@ -45,11 +45,14 @@ class IterativeResult:
 
 
 def _lap_roll(u, dx, dy):
-    """5-point Laplacian via rolls (edge rows invalid -> mask them)."""
-    return (
-        (jnp.roll(u, -1, 0) - 2 * u + jnp.roll(u, 1, 0)) / dx**2
-        + (jnp.roll(u, -1, 1) - 2 * u + jnp.roll(u, 1, 1)) / dy**2
-    )
+    """5-point Laplacian via rolls (edge rows invalid -> mask them).
+    Delegates to ops.arakawa.laplacian: ONE stencil implementation for
+    Poisson residuals and the NS diffusion term (the shift-direction
+    difference is irrelevant — the stencil is symmetric and IEEE
+    addition is commutative, so results are bit-identical)."""
+    from cfd_julia_tpu.ops import arakawa
+
+    return arakawa.laplacian(u, dx, dy)
 
 
 def interior_mask(nx: int, ny: int, dtype):

@@ -260,10 +260,15 @@ def _pick_transfers(name: str, backend: str | None = None):
 
 def _build_levels(nx, ny, dx, dy, n_levels):
     if n_levels <= 0:
+        # BOTH axes must stay even at every coarsening: an anisotropic
+        # grid whose axes have different 2-adic valuations (e.g. 20x16)
+        # would otherwise produce an odd intermediate level and crash
+        # the prolongation on a shape mismatch
         n_levels = 1
-        m = min(nx, ny)
-        while m % 2 == 0 and m > 2:
-            m //= 2
+        mx, my = nx, ny
+        while mx % 2 == 0 and my % 2 == 0 and mx > 2 and my > 2:
+            mx //= 2
+            my //= 2
             n_levels += 1
     levels = []
     for l in range(n_levels):
@@ -360,7 +365,7 @@ def fmg_start(f, u0, levels, masks, imasks, cfg: MGConfig):
     n = len(levels)
     nx0, ny0, dx0, dy0 = levels[0]
     g = residual_full(f, u0, dx0, dy0, imasks[0])
-    restrict_fn, _ = _pick_transfers(cfg.transfers)
+    restrict_fn, prolong_fn = _pick_transfers(cfg.transfers)
     gs = [g]
     for k in range(1, n):
         nxp, nyp, _, _ = levels[k - 1]
@@ -378,7 +383,9 @@ def fmg_start(f, u0, levels, masks, imasks, cfg: MGConfig):
                "cheb" if cfg.smoother == "cheb"
                else _pick_smoother(nxc, nyc))
     for k in range(n - 2, -1, -1):
-        v = prolongation(v) * imasks[k]
+        # the cfg-selected pair, not hardcoded conv: matmul prolongation
+        # measured 2.3x faster at 4096^2 — FMG's upleg must honor it
+        v = prolong_fn(v) * imasks[k]
         v = v_cycle(v, gs[k], levels[k:], masks[k:], imasks[k:], cfg)
     return u0 + v
 

@@ -292,3 +292,25 @@ def test_arakawa_discrete_invariants():
     assert abs(float(jnp.sum(j))) < 1e-12 * scale
     assert abs(float(jnp.sum(w * j))) < 1e-12 * scale
     assert abs(float(jnp.sum(s * j))) < 1e-12 * scale
+
+
+def test_variant_selector_typos_rejected():
+    """A typo'd variant selector must never silently run (and get
+    benchmarked as) the default implementation (review findings)."""
+    with pytest.raises(ValueError, match="unknown poisson"):
+        cavity.make_step_fn(cavity.CavityConfig(nx=16, ny=16,
+                                                poisson="fst_matml"))
+    with pytest.raises(ValueError, match="unknown pair_impl"):
+        vortex.VortexConfig(pair_impl="rowfirst")
+    with pytest.raises(ValueError, match="unknown rhs_impl"):
+        vortex.VortexConfig(rhs_impl="palas")
+    with pytest.raises(ValueError, match="unknown fft_impl"):
+        vortex.VortexConfig(fft_impl="mxu")
+    with pytest.raises(ValueError, match="unknown solver"):
+        vortex.VortexConfig(solver="ps33")
+    with pytest.raises(ValueError, match="ns"):
+        vortex.VortexConfig(ns=0)
+    # the padded (multi-chip) step rejects a bad bc_order like the
+    # single-chip assemble path does
+    with pytest.raises(ValueError, match="bc_order"):
+        cavity._wall_bc_fields(np.zeros((5, 5)), 0.1, 0.1, 3)

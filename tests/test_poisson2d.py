@@ -158,6 +158,42 @@ def test_mg_transfer_configs_converge():
         assert float(res.rms / res.rms0) <= 1e-9, transfers
 
 
+def test_mg_anisotropic_2adic_levels():
+    """Grids whose axes have different 2-adic valuations (20x16: nx path
+    20->10->5 goes odd first) must coarsen only while BOTH axes stay
+    even — previously crashed on a prolongation shape mismatch (review
+    repro).  Also covers the rectangular CLI --nx/--ny override path."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.poisson import multigrid
+
+    rng = np.random.default_rng(3)
+    for nx, ny in ((20, 16), (16, 20), (80, 64)):
+        f = np.zeros((nx + 1, ny + 1))
+        f[1:-1, 1:-1] = rng.standard_normal((nx - 1, ny - 1))
+        f = jnp.asarray(f)
+        mgc = multigrid.MGConfig(tol=1e-6, max_cycles=40)
+        res = multigrid.solve(f, jnp.zeros_like(f), 1.0 / nx, 1.0 / ny,
+                              cfg=mgc)
+        assert float(res.rms / res.rms0) <= 1e-6, (nx, ny)
+
+
+def test_fmg_honors_transfer_choice():
+    """FMG's upleg uses the cfg-selected prolongation (was hardcoded to
+    the conv form, silently ignoring transfers='matmul')."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    mgc = multigrid.MGConfig(tol=1e-6, max_cycles=30, transfers="matmul",
+                             fmg=True)
+    cfg = poisson2d.PoissonConfig(nx=64, ny=64, solver="multigrid",
+                                  problem="poly", mg=mgc)
+    _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float64)
+    res = multigrid.solve(f, poisson2d._dirichlet_init(ue), cfg.dx,
+                          cfg.dy, cfg=mgc)
+    assert float(res.rms / res.rms0) <= 1e-6
+
+
 def test_mg_chebyshev_smoother_converges():
     """Chebyshev-Jacobi smoothed V-cycles (smoother='cheb', raced in
     bench MG_VARIANTS) reach the bench tolerance (1e-5, worker_mg's
