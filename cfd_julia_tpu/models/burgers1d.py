@@ -130,6 +130,13 @@ def make_rhs(cfg: BurgersConfig):
     dx = cfg.dx
     m = cfg.tridiag_method
     if cfg.solver == "central":
+        if cfg.bc != "dirichlet":
+            # _rhs_central is the Dirichlet weno_trial.jl baseline
+            # (boundary rhs pinned to 0 on nx+1 nodes); running it under
+            # the default bc="periodic" silently integrated the wrong
+            # problem instead of rejecting
+            raise ValueError("solver='central' supports bc='dirichlet' "
+                             "only (05_.../weno_trial.jl)")
         return lambda u: _rhs_central(u, dx)
     if cfg.solver == "flux_split":
         return lambda u: _rhs_flux_split(u, dx)

@@ -95,7 +95,12 @@ def make_rhs(cfg: EulerConfig):
         qR = weno.reconstruct_right(q, "mirror")   # (3, nx+1)
         fL = riemann.flux(qL, gamma)
         fR = riemann.flux(qR, gamma)
-        f = solver(qL, qR, fL, fR, gamma, **kwargs)
+        extra = dict(kwargs)
+        if extra.get("wavespeed") == "spectral":
+            # wavespeed2 parity: the reference evaluates the spectral
+            # radius at CELL centres, not the reconstructed interfaces
+            extra["ps"] = riemann.rusanov_wavespeed2(q, gamma)
+        f = solver(qL, qR, fL, fR, gamma, **extra)
         return -(f[:, 1:] - f[:, :-1]) / dx
 
     return rhs
@@ -114,7 +119,10 @@ def solve(cfg: EulerConfig, dtype=None) -> EulerResult:
 
 
 def primitives_from_result(res: EulerResult, gamma: float = 1.4):
-    """(rho, u, p, e_internal_specific) for plotting/validation — matches
-    the reference output columns (euler_roe.jl:187-205)."""
+    """(rho, u, p, E_total_specific) for plotting/validation — matches
+    the reference output columns (euler_roe.jl:187-205).  The energy is
+    the TOTAL specific energy E = q3/rho (internal + kinetic), exactly
+    the reference's plotted column; internal energy alone would be
+    p/((gamma-1) rho)."""
     rho, u, e, p, _ = riemann.primitives(res.q, gamma)
     return rho, u, p, e

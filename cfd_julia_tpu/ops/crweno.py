@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from cfd_julia_tpu.ops import tridiag
-from cfd_julia_tpu.ops.weno import EPS_WENO, _smoothness
+from cfd_julia_tpu.ops.weno import EPS_WENO, _smoothness, _stencils
 
 
 def crwc_L(v1, v2, v3, v4, v5, eps: float = EPS_WENO):
@@ -60,8 +60,9 @@ def crwc_R(v1, v2, v3, v4, v5, eps: float = EPS_WENO):
 
 
 def _stencils_centered(u_pad, n_out):
-    """v1..v5 = u_{j-2}..u_{j+2} given a line padded by 2 on each side."""
-    return tuple(u_pad[..., k : k + n_out] for k in range(5))
+    """v1..v5 = u_{j-2}..u_{j+2} given a line padded by 2 on each side
+    (= weno._stencils: ONE slice helper for both reconstructions)."""
+    return _stencils(u_pad, n_out)
 
 
 def reconstruct_periodic(u, direction: str, eps: float = EPS_WENO,

@@ -611,7 +611,11 @@ def euler_rhs_fused(q, gamma: float, dx: float, solver: str = "hllc",
         qR = weno.reconstruct_right(qq, "mirror")
         fL = riemann.flux(qL, gamma)
         fR = riemann.flux(qR, gamma)
-        f = riemann_fn(qL, qR, fL, fR, gamma, **kwargs)
+        extra = dict(kwargs)
+        if extra.get("wavespeed") == "spectral":
+            # wavespeed2 parity with the XLA RHS: cell-centred radius
+            extra["ps"] = riemann.rusanov_wavespeed2(qq, gamma)
+        f = riemann_fn(qL, qR, fL, fR, gamma, **extra)
         out_ref[:, :] = -(f[:, 1:] - f[:, :-1]) / dx
 
     return pl.pallas_call(

@@ -106,13 +106,33 @@ def hllc(qL, qR, fL, fR, gamma: float):
     )
 
 
-def rusanov(qL, qR, fL, fR, gamma: float, wavespeed: str = "roe"):
+def rusanov_wavespeed2(q, gamma: float):
+    """The reference's alternative propagation speed `wavespeed2`
+    (euler_rusanov.jl:122-139), exactly: spectral radius |u| + a at the
+    CELL centres of q (max(|u|, |u±a|) = |u|+a), interface speed = max
+    of the two adjacent cells, end interfaces copied from their
+    neighbors.  q: (3, n) cells -> ps: (n+1,) interfaces."""
+    rho, u, _, p, _ = primitives(q, gamma)
+    rad = jnp.abs(u) + jnp.sqrt(jnp.abs(gamma * p / rho))
+    inner = jnp.maximum(rad[:-1], rad[1:])           # interfaces 1..n-1
+    return jnp.concatenate([inner[:1], inner, inner[-1:]])
+
+
+def rusanov(qL, qR, fL, fR, gamma: float, wavespeed: str = "roe",
+            ps=None):
     """Rusanov (local Lax-Friedrichs) flux.
 
     wavespeed="roe": ps = |u_roe + a_roe| — the reference's active line
-    (euler_rusanov.jl:166); "spectral": max |u|+a of the two states
-    (the reference's alternative `wavespeed2`, euler_rusanov.jl:122-139)."""
-    if wavespeed == "roe":
+    (euler_rusanov.jl:166).  For the reference's alternative
+    `wavespeed2`, pass ps=rusanov_wavespeed2(q_cells, gamma): that speed
+    is defined on CELL-centred states with neighbor-max and copied ends,
+    which the interface states alone cannot reproduce.  A bare
+    wavespeed="spectral" (no ps) falls back to max(|u|+a) of the two
+    reconstructed interface states — a valid Rusanov bound but NOT
+    bit-parity with wavespeed2 near shocks."""
+    if ps is not None:
+        pass
+    elif wavespeed == "roe":
         uu, _, aa = _roe_average(qL, qR, gamma)
         ps = jnp.abs(aa + uu)
     elif wavespeed == "spectral":

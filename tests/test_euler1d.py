@@ -4,6 +4,8 @@ The reference validates Sod only by plotting low-res profiles against an
 nx=8192 HLLC run labelled "True" (09_.../plotting.jl:33-61); here the exact
 Riemann solution (Toro ch. 4) is the oracle.
 """
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -137,3 +139,50 @@ def test_conservation():
     assert abs(d_tot[2]) < 1e-11                      # energy
     expected_dmom = (cfg.p_l - cfg.p_r) * cfg.t_final  # = 0.18
     assert abs(d_tot[1] - expected_dmom) < 1e-9, d_tot[1]
+
+
+def test_rusanov_wavespeed2_reference_parity():
+    """riemann.rusanov_wavespeed2 vs a literal port of the reference's
+    wavespeed2 (euler_rusanov.jl:122-139): cell-centred spectral radius,
+    neighbor-max interfaces, copied ends."""
+    import jax.numpy as jnp
+
+    from cfd_julia_tpu.ops import riemann
+
+    rng = np.random.default_rng(5)
+    nx, gamma = 64, 1.4
+    rho = rng.uniform(0.1, 2.0, nx)
+    u = rng.uniform(-1.5, 1.5, nx)
+    p = rng.uniform(0.1, 2.0, nx)
+    q = np.stack([rho, rho * u, p / (gamma - 1) + 0.5 * rho * u**2])
+
+    rad = np.empty(nx)
+    for i in range(nx):
+        a = np.sqrt(gamma * ((gamma - 1.0) *
+                             (q[2, i] - 0.5 * q[1, i]**2 / q[0, i]))
+                    / q[0, i])
+        rad[i] = max(abs(q[1, i] / q[0, i]),
+                     abs(q[1, i] / q[0, i] + a),
+                     abs(q[1, i] / q[0, i] - a))
+    ps = np.empty(nx + 1)
+    ps[1:nx] = np.maximum(rad[:-1], rad[1:])
+    ps[0] = ps[1]
+    ps[nx] = ps[nx - 1]
+
+    mine = np.asarray(riemann.rusanov_wavespeed2(jnp.asarray(q), gamma))
+    np.testing.assert_allclose(mine, ps, rtol=1e-12, atol=0)
+
+
+def test_rusanov_spectral_uses_cell_centred_speed():
+    """The XLA and Pallas(interpret) RHS paths agree under
+    rusanov_wavespeed='spectral' (both use the wavespeed2 parity speed)."""
+    from cfd_julia_tpu.models import euler1d
+
+    cfg = euler1d.EulerConfig(nx=128, solver="rusanov",
+                              rusanov_wavespeed="spectral")
+    x, q0 = euler1d.sod_initial_state(cfg, np.float64)
+    r_xla = euler1d.make_rhs(cfg)(q0)
+    cfg_p = dataclasses.replace(cfg, rhs_impl="pallas")
+    r_pal = euler1d.make_rhs(cfg_p)(q0)
+    np.testing.assert_allclose(np.asarray(r_xla), np.asarray(r_pal),
+                               rtol=1e-10, atol=1e-12)
