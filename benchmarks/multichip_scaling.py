@@ -46,12 +46,17 @@ def bench_point(nx: int, ndev: int):
     st = (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32))
     timed(f"sharded_cavity_{nx}_dev{ndev}", step, st)
 
+    from cfd_julia_tpu.ops import spectral
+
     vcfg = vortex.VortexConfig(nx=nx, ny=nx, solver="ps23", dt=1e-3)
     vstep = sharded.make_sharded_vortex_step(vcfg, mesh, jnp.float32)
-    wf0 = sharded.place(
-        jnp.fft.fft2(vortex.initial_vorticity(vcfg, jnp.float32)
-                     .astype(jnp.complex64)), mesh)
-    timed(f"sharded_ps23_{nx}_dev{ndev}", vstep, wf0)
+    # packed real boundary (complex64 jit params poison the TPU client)
+    hf0 = jax.device_put(
+        jax.jit(lambda w: spectral.pack_c(
+            jnp.fft.fft2(w.astype(jnp.complex64))))(
+            vortex.initial_vorticity(vcfg, jnp.float32)),
+        sharded.packed_full_sharding(mesh))
+    timed(f"sharded_ps23_{nx}_dev{ndev}", vstep, hf0)
 
     # the half-spectrum packed fast path (round-3 mesh extension)
     hstep = sharded.make_sharded_vortex_step_half(vcfg, mesh, jnp.float32)

@@ -482,7 +482,7 @@ def prolong_correct_smooth_fused(u, f, uc, dx: float, dy: float,
 # ------------------------------------------------- fused vorticity RHS
 
 def _arakawa_kernel(w_hbm, s_hbm, out_ref, ws, ss, sem_w, sem_s, *,
-                    tile, n_cols, dx, dy, re):
+                    tile, dx, dy, re):
     """r = -J(w,s) + lap(w)/re on one row slab (periodic; the wrapper
     supplies wrap-padded rows/cols)."""
     t = pl.program_id(0)
@@ -536,6 +536,13 @@ def arakawa_rhs_fused(w, s, dx: float, dy: float, re: float,
     if interpret is None:
         interpret = not _on_tpu()
     n_rows, n_cols = w.shape
+    # wrap_ext takes u[-GUARD:]/u[:GUARD] as wrap halos: fewer rows than
+    # GUARD silently truncates them and the fixed-size slab DMA then
+    # reads past the padded array with an opaque slice error — assert
+    # the precondition like the sibling kernels do
+    assert n_rows >= GUARD, \
+        f"arakawa_rhs_fused needs >= {GUARD} rows, got {n_rows}"
+    assert tile % 8 == 0, f"tile must be 8-row aligned, got {tile}"
     row_pad = (-n_rows) % tile
     rows_p = n_rows + row_pad
 
@@ -562,7 +569,7 @@ def arakawa_rhs_fused(w, s, dx: float, dy: float, re: float,
     W = wp.shape[1]
 
     kernel = functools.partial(
-        _arakawa_kernel, tile=tile, n_cols=n_cols, dx=dx, dy=dy, re=re,
+        _arakawa_kernel, tile=tile, dx=dx, dy=dy, re=re,
     )
     out = pl.pallas_call(
         kernel,

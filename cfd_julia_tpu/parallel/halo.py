@@ -29,78 +29,57 @@ def halo_exchange_periodic(ul, mesh_shape: dict, width: int = 1,
                            axes=("x", "y")):
     """Pad a local block with `width` halo rows/cols from ring neighbours.
 
-    Must be called inside shard_map over a 2D mesh. ul: (bx, by) local
-    block -> (bx + 2w, by + 2w) padded block, periodic global topology.
+    Must be called inside shard_map over a 2D mesh. ul: (..., bx, by)
+    local block -> (..., bx + 2w, by + 2w) padded block, periodic global
+    topology.  Leading axes are batch: stacking several operands into
+    one exchange halves the number of latency-bound ppermute rounds.
     """
     ax, ay = axes
     px, py = mesh_shape[ax], mesh_shape[ay]
     w = width
 
     # x-direction: my low halo = high edge of x-neighbour i-1
-    hi_edge = ul[-w:, :]
-    lo_edge = ul[:w, :]
+    hi_edge = ul[..., -w:, :]
+    lo_edge = ul[..., :w, :]
     if px > 1:
         lo_halo = lax.ppermute(hi_edge, ax, _ring_perm(px, 1))
         hi_halo = lax.ppermute(lo_edge, ax, _ring_perm(px, -1))
     else:
         lo_halo, hi_halo = hi_edge, lo_edge
-    up = jnp.concatenate([lo_halo, ul, hi_halo], axis=0)
+    up = jnp.concatenate([lo_halo, ul, hi_halo], axis=-2)
 
     # y-direction (exchange the already-x-padded edges so corners arrive)
-    hi_edge = up[:, -w:]
-    lo_edge = up[:, :w]
+    hi_edge = up[..., :, -w:]
+    lo_edge = up[..., :, :w]
     if py > 1:
         lo_halo = lax.ppermute(hi_edge, ay, _ring_perm(py, 1))
         hi_halo = lax.ppermute(lo_edge, ay, _ring_perm(py, -1))
     else:
         lo_halo, hi_halo = hi_edge, lo_edge
-    return jnp.concatenate([lo_halo, up, hi_halo], axis=1)
-
-
-def _arakawa_padded(wp, sp, dx: float, dy: float):
-    """Arakawa J(w,s) on a 1-halo padded block -> interior block (no wrap)."""
-    gg = 1.0 / (4.0 * dx * dy)
-
-    def sh(u, di, dj):
-        return u[1 + di : u.shape[0] - 1 + di, 1 + dj : u.shape[1] - 1 + dj]
-
-    w0, s0 = sh(wp, 0, 0), sh(sp, 0, 0)
-    j1 = (sh(wp, 1, 0) - sh(wp, -1, 0)) * (sh(sp, 0, 1) - sh(sp, 0, -1)) - (
-        sh(wp, 0, 1) - sh(wp, 0, -1)
-    ) * (sh(sp, 1, 0) - sh(sp, -1, 0))
-    j2 = (
-        sh(wp, 1, 0) * (sh(sp, 1, 1) - sh(sp, 1, -1))
-        - sh(wp, -1, 0) * (sh(sp, -1, 1) - sh(sp, -1, -1))
-        - sh(wp, 0, 1) * (sh(sp, 1, 1) - sh(sp, -1, 1))
-        + sh(wp, 0, -1) * (sh(sp, 1, -1) - sh(sp, -1, -1))
-    )
-    j3 = (
-        sh(wp, 1, 1) * (sh(sp, 0, 1) - sh(sp, 1, 0))
-        - sh(wp, -1, -1) * (sh(sp, -1, 0) - sh(sp, 0, -1))
-        - sh(wp, -1, 1) * (sh(sp, 0, 1) - sh(sp, -1, 0))
-        + sh(wp, 1, -1) * (sh(sp, 1, 0) - sh(sp, 0, -1))
-    )
-    return gg * (j1 + j2 + j3) / 3.0
-
-
-def _laplacian_padded(wp, dx: float, dy: float):
-    return (
-        (wp[2:, 1:-1] - 2 * wp[1:-1, 1:-1] + wp[:-2, 1:-1]) / dx**2
-        + (wp[1:-1, 2:] - 2 * wp[1:-1, 1:-1] + wp[1:-1, :-2]) / dy**2
-    )
+    return jnp.concatenate([lo_halo, up, hi_halo], axis=-1)
 
 
 def make_distributed_vorticity_rhs(mesh: Mesh, dx: float, dy: float,
                                    re: float):
     """shard_map'd r = -J(w,s) + lap(w)/re over a 2D-decomposed periodic
-    field: one 1-deep halo exchange per operand, fused local stencils."""
+    field: ONE stacked 1-deep halo exchange for both operands (w and s
+    ride a (2, bx, by) exchange — 4 ppermutes per RHS instead of 8; the
+    halo edges are tiny latency-bound ICI messages, so the collective
+    count is the cost).  The local stencils are ops.arakawa's — the
+    rolls never wrap on the [1:-1, 1:-1] interior of a 1-halo padded
+    block (arakawa.jacobian docstring), so there is exactly one
+    implementation of the 17-point coefficient set."""
+    from cfd_julia_tpu.ops import arakawa
+
     mesh_shape = dict(zip(mesh.axis_names, mesh.devices.shape))
     spec = P(*mesh.axis_names)
 
     def local_rhs(wl, sl):
-        wp = halo_exchange_periodic(wl, mesh_shape, 1, mesh.axis_names)
-        sp = halo_exchange_periodic(sl, mesh_shape, 1, mesh.axis_names)
-        return -_arakawa_padded(wp, sp, dx, dy) + _laplacian_padded(wp, dx, dy) / re
+        bp = halo_exchange_periodic(jnp.stack([wl, sl]), mesh_shape, 1,
+                                    mesh.axis_names)
+        wp, sp = bp[0], bp[1]
+        return (-arakawa.jacobian(wp, sp, dx, dy)[1:-1, 1:-1]
+                + arakawa.laplacian(wp, dx, dy)[1:-1, 1:-1] / re)
 
     return jax.shard_map(
         local_rhs, mesh=mesh, in_specs=(spec, spec), out_specs=spec
@@ -158,8 +137,10 @@ def make_distributed_jacobi_step(mesh: Mesh, dx: float, dy: float):
     diag = -2.0 / dx**2 - 2.0 / dy**2
 
     def sweep(ul, fl):
+        from cfd_julia_tpu.ops import arakawa
+
         up = halo_exchange_periodic(ul, mesh_shape, 1, mesh.axis_names)
-        r = fl - _laplacian_padded(up, dx, dy)
+        r = fl - arakawa.laplacian(up, dx, dy)[1:-1, 1:-1]
         return ul + r / diag
 
     return jax.shard_map(

@@ -56,16 +56,46 @@ def make_sharded_cavity_step(cfg, mesh):
 
 def make_sharded_vortex_step(cfg, mesh, dtype):
     """Sharded pseudospectral / hybrid / FDM vortex-merger step (periodic
-    grids are nx x ny — naturally mesh-divisible for power-of-two sizes)."""
-    sh = mesh_lib.field_sharding(mesh)
+    grids are nx x ny — naturally mesh-divisible for power-of-two sizes).
+
+    fdm: real (nx, ny) state, field-sharded.  Spectral solvers: the
+    state at the jit boundary is the PACKED real (2, nx, ny) Re/Im
+    stack (packed_full_sharding) — complex64 params/outputs are
+    rejected by the remote-TPU backend and poison the client
+    (spectral.pack_c), so the complex spectrum lives only inside jit."""
     if cfg.solver == "fdm":
         from cfd_julia_tpu.stepping import ssprk3
 
-        rhs = lambda w: vortex_model.fdm_rhs(w, cfg.dx, cfg.dy, cfg.re, mesh)
+        # the single-device variant selectors do not partition: the
+        # Pallas slab kernel and the matmul FFT are single-device forms
+        # (parallel.halo carries the manual-collective stencil RHS) —
+        # fail loudly rather than silently timing the default
+        if cfg.rhs_impl != "xla" or cfg.fft_impl != "xla":
+            raise ValueError(
+                f"sharded fdm step supports rhs_impl='xla'/fft_impl="
+                f"'xla' only (got {cfg.rhs_impl!r}/{cfg.fft_impl!r}); "
+                "the Pallas RHS and matmul FFT are single-device forms")
+        sh = mesh_lib.field_sharding(mesh)
+        rhs = lambda w: vortex_model.fdm_rhs(
+            w, cfg.dx, cfg.dy, cfg.re, mesh,
+            impl=cfg.rhs_impl, fft_impl=cfg.fft_impl)
         step = lambda w: ssprk3.ssprk3_step(rhs, w, cfg.dt)
-    else:
-        step = vortex_model.make_spectral_step(cfg, dtype, mesh=mesh)
+        return jax.jit(step, in_shardings=(sh,), out_shardings=sh)
+
+    from cfd_julia_tpu.ops import spectral
+
+    inner = vortex_model.make_spectral_step(cfg, dtype, mesh=mesh)
+    step = lambda h: spectral.pack_c(inner(spectral.unpack_c(h)))
+    sh = packed_full_sharding(mesh)
     return jax.jit(step, in_shardings=(sh,), out_shardings=sh)
+
+
+def packed_full_sharding(mesh):
+    """(2, nx, ny) packed full-spectrum sharding: the Re/Im axis
+    replicated, the spatial axes over the 2D mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(None, *mesh.axis_names))
 
 
 def make_sharded_vortex_step_half(cfg, mesh, dtype):

@@ -119,8 +119,18 @@ def test_sharded_vortex_step_matches(mesh2d, solver):
     else:
         from cfd_julia_tpu.ops import spectral
 
-        x0 = spectral.zero_mean_mode(jnp.fft.fft2(w0.astype(jnp.complex128)))
+        wf0 = spectral.zero_mean_mode(
+            jnp.fft.fft2(w0.astype(jnp.complex128)))
         ref_step = vortex_model.make_spectral_step(cfg, dtype)
+        ref = spectral.pack_c(ref_step(wf0))
+        # the sharded step's boundary is the PACKED real Re/Im stack
+        # (complex64 jit params poison the real TPU client)
+        step_sharded = sharded.make_sharded_vortex_step(cfg, mesh2d, dtype)
+        out = step_sharded(jax.device_put(
+            spectral.pack_c(wf0), sharded.packed_full_sharding(mesh2d)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+        return
     ref = ref_step(x0)
 
     step_sharded = sharded.make_sharded_vortex_step(cfg, mesh2d, dtype)
