@@ -33,10 +33,11 @@ class Grid1D:
         return jnp.linspace(self.x0, self.x1, self.nx + 1, dtype=dtype)
 
     def centers(self, dtype=None):
-        """nx cell-centre coordinates x0 + (i-1/2)dx, i=1..nx."""
+        """nx cell-centre coordinates x0 + (i-1/2)dx, i=1..nx.
+        dtype=None follows the ambient default like nodes() (a hardcoded
+        fp32 fallback silently downgraded fp64 parity runs)."""
         dx = self.dx
-        return (self.x0 + dx / 2
-                + dx * jnp.arange(self.nx, dtype=dtype or jnp.float32))
+        return self.x0 + dx / 2 + dx * jnp.arange(self.nx, dtype=dtype)
 
 
 @dataclasses.dataclass(frozen=True)

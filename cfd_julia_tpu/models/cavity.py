@@ -20,7 +20,6 @@ moves in +x at the TOP wall (j = ny).
 from __future__ import annotations
 
 import dataclasses
-import os
 from functools import partial
 
 import jax
@@ -314,7 +313,7 @@ def solve(cfg: CavityConfig, dtype=None, checkpoint_every: int = 0,
     if (checkpoint_every or resume) and not checkpoint_path:
         raise ValueError("checkpointing requires checkpoint_path")
     if resume:
-        if os.path.exists(checkpoint_path):
+        if checkpoint.exists(checkpoint_path):
             (w, s, h), done = checkpoint.load_state(
                 checkpoint_path, (w, s, jnp.asarray(hist)))
             hist = np.asarray(h)

@@ -36,7 +36,9 @@ def vortex_fdm_re_sweep(cfg: vortex.VortexConfig, reynolds, dtype=None
     w0_b = jnp.broadcast_to(w0, (res.shape[0],) + w0.shape)
 
     def solve_one(w, re):
-        rhs = lambda ww: vortex.fdm_rhs(ww, cfg.dx, cfg.dy, re)
+        rhs = lambda ww: vortex.fdm_rhs(ww, cfg.dx, cfg.dy, re,
+                                        impl=cfg.rhs_impl,
+                                        fft_impl=cfg.fft_impl)
         step = lambda ww: ssprk3.ssprk3_step(rhs, ww, cfg.dt)
         return loop.run_steps(step, w, cfg.nt)
 

@@ -22,7 +22,6 @@ TGV validation: 64^2, Re=10, dt=0.01, t=1 (tgv.jl:92-146).
 from __future__ import annotations
 
 import dataclasses
-import os
 
 import jax
 import jax.numpy as jnp
@@ -610,7 +609,7 @@ def solve(cfg: VortexConfig, dtype=None, checkpoint_every: int = 0,
     obs = decode  # per-chunk snapshot = decoded state (identity for fdm)
     state, done, parts = state0, 0, []
     snaps_like = jnp.zeros((0,) + w0.shape, dtype)
-    if resume and os.path.exists(checkpoint_path):
+    if resume and checkpoint.exists(checkpoint_path):
         # the checkpoint records the ABSOLUTE step count: a resume under
         # a different snapshot cadence (nt or ns changed so that `every`
         # no longer divides it) or a shorter run cannot be silently

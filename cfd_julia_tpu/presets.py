@@ -99,7 +99,9 @@ PRESETS = {
         _p("poisson_cg", "poisson",
            poisson2d.PoissonConfig(nx=512, ny=512, solver="cg",
                                    problem="poly", tol=1e-9,
-                                   max_iter=200_000, freq=100),
+                                   # 20 * 100_000, the reference main()'s
+                                   # cap (conjugate_gradient.jl)
+                                   max_iter=2_000_000, freq=100),
            "16_Poisson_Solver_Conjugate_Gradient/conjugate_gradient.jl"),
         _p("poisson_mg2", "poisson",
            poisson2d.PoissonConfig(nx=256, ny=256, solver="multigrid",

@@ -79,7 +79,6 @@ def _run_euler(preset, outdir, dtype):
     res = euler1d.solve(cfg, dtype)
     # solution_{d,v,e}.txt: density / velocity / energy snapshot histories
     # (euler_roe.jl:187-205)
-    names = {"d": 0, "v": 1, "e": 2}
     rho = np.asarray(res.snapshots[:, 0])
     vel = np.asarray(res.snapshots[:, 1]) / rho
     en = np.asarray(res.snapshots[:, 2]) / rho
@@ -97,7 +96,14 @@ def _run_poisson(preset, outdir, dtype):
     m = {"l2_error": float(res.l2_error),
          "linf_error": float(res.linf_error)}
     if res.iterations is not None:
-        r = np.abs(np.asarray(res.u - res.u_exact))
+        # the reference's 'Maximum Norm' is max |RESIDUAL|
+        # (gauss_seidel.jl:51 maximum(abs.(r))), not the solution error
+        from cfd_julia_tpu.poisson import iterative as _it
+
+        nxp, nyp = np.shape(res.u)
+        mask = _it.interior_mask(nxp - 1, nyp - 1, res.u.dtype)
+        r = np.abs(np.asarray(_it.residual_full(
+            res.f, res.u, cfg.dx, cfg.dy, mask)))
         io.write_residual_report(
             os.path.join(outdir, "output.txt"), res.rms, r.max(),
             int(res.iterations),

@@ -20,23 +20,42 @@ import jax
 import numpy as np
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' to suffix-less paths; normalize so
+    save/load/exists all agree on ONE on-disk name."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state, step: int | None = None):
-    """Save a pytree of arrays to .npz (flattened with treedef repr)."""
+    """Save a pytree of arrays to .npz (flattened with treedef repr).
+
+    ATOMIC: writes a temp file in the same directory and os.replace()s
+    it over the target — a crash mid-save (the exact scenario this
+    feature recovers from) must never destroy the previous good
+    checkpoint."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
     payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     payload["__treedef__"] = np.asarray(str(treedef))
     if step is not None:
         payload["__step__"] = np.asarray(step)
+    path = _npz_path(path)
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
-    np.savez(path, **payload)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def exists(path: str) -> bool:
+    """True if a save_state checkpoint exists at (the normalized) path."""
+    return os.path.exists(_npz_path(path))
 
 
 def load_state(path: str, like):
     """Restore a pytree saved by save_state; `like` supplies the treedef.
 
     Returns (state, step) where step is None if it was not recorded."""
-    data = np.load(path, allow_pickle=False)
+    data = np.load(_npz_path(path), allow_pickle=False)
     _, treedef = jax.tree_util.tree_flatten(like)
     n = len([k for k in data.files if k.startswith("leaf_")])
     leaves = [jax.numpy.asarray(data[f"leaf_{i}"]) for i in range(n)]

@@ -32,8 +32,8 @@ def _wavenumber_grid(nx: int, ny: int):
     return kxf, kyf, jnp.broadcast_to(w, (nx, ny // 2 + 1))
 
 
-@partial(jax.jit, static_argnames=("packed",))
-def energy_spectrum(w, packed: bool = False):
+@partial(jax.jit, static_argnames=("packed", "ny"))
+def energy_spectrum(w, packed: bool = False, ny: int | None = None):
     """Radially binned kinetic-energy spectrum E(k) of a periodic 2D
     vorticity field w (nx, ny): E(k) = sum_{|k'| in [k-1/2,k+1/2)}
     |w_hat|^2 / (2 |k'|^2) with Parseval normalization 1/(nx ny)^2.
@@ -48,7 +48,13 @@ def energy_spectrum(w, packed: bool = False):
     if packed:
         H = w[0] + 1j * w[1]
         nx, hy = H.shape
-        ny = 2 * (hy - 1)
+        if ny is None:
+            # the half width hy = ny//2+1 is ambiguous: both ny=2(hy-1)
+            # (even) and ny=2hy-1 (odd) map to it — assume even, as the
+            # solver grids are, and require the explicit ny otherwise
+            ny = 2 * (hy - 1)
+        elif ny // 2 + 1 != hy:
+            raise ValueError(f"ny={ny} inconsistent with half width {hy}")
     else:
         nx, ny = w.shape
         H = jnp.fft.rfft2(w)
@@ -58,9 +64,15 @@ def energy_spectrum(w, packed: bool = False):
     dens = mult * jnp.abs(H) ** 2 / (2.0 * k2) / (nx * ny) ** 2
     nbins = min(nx, ny) // 2
     kb = jnp.arange(1, nbins + 1)
-    onehot = (jnp.round(kmag)[None, :, :]
-              == kb[:, None, None]).astype(dens.dtype)
-    return kb, jnp.einsum("kij,ij->k", onehot, dens)
+    # segment-sum binning: the one-hot einsum materialized a
+    # (nbins, nx, ny/2+1) tensor — ~8.6 GB at the 2048^2 bench grid.
+    # This is a scatter-add (slow class on TPU) but it is a one-off
+    # diagnostic, and memory beats speed here.
+    r = jnp.round(kmag).astype(jnp.int32)
+    r = jnp.where((r >= 1) & (r <= nbins), r, nbins + 1)
+    e = jax.ops.segment_sum(dens.ravel(), r.ravel(),
+                            num_segments=nbins + 2)
+    return kb, e[1 : nbins + 1]
 
 
 @jax.jit
