@@ -12,6 +12,11 @@ import argparse
 
 import numpy as np
 
+from cfd_julia_tpu.jaxconfig import configure_jax
+
+configure_jax()  # honor JAX_PLATFORMS (the env var alone is not
+# respected once the axon plugin registers; a dead tunnel then hangs)
+
 from cfd_julia_tpu.models import cavity
 
 parser = argparse.ArgumentParser()

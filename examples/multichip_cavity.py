@@ -12,6 +12,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from cfd_julia_tpu.jaxconfig import configure_jax
+
+configure_jax()  # honor JAX_PLATFORMS (the env var alone is not
+# respected once the axon plugin registers; a dead tunnel then hangs)
+
 from cfd_julia_tpu.models import cavity
 from cfd_julia_tpu.parallel import mesh as mesh_lib, sharded
 

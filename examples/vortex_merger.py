@@ -13,6 +13,11 @@ import os
 
 import numpy as np
 
+from cfd_julia_tpu.jaxconfig import configure_jax
+
+configure_jax()  # honor JAX_PLATFORMS (the env var alone is not
+# respected once the axon plugin registers; a dead tunnel then hangs)
+
 from cfd_julia_tpu.models import vortex
 from cfd_julia_tpu.utils import io
 
