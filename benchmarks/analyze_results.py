@@ -3,9 +3,11 @@
     python benchmarks/analyze_results.py benchmarks/results/microbench_full_*.log
 
 Groups the JSON lines by family prefix, prints each family sorted by
-time with the winner marked, and emits the auto-selection implications
-(MG transfers/smoother/fused, cavity poisson=, ps23 fft/pair impl) so
-heuristic updates stay tied to data."""
+time with the winner marked (below-overhead-floor entries rank last —
+their clamped 0.0 is a dispatch-noise artifact, not a measurement), and
+emits the auto-selection implications (MG transfers/smoother/fused,
+cavity poisson=, ps23 fft/pair impl) so heuristic updates stay tied to
+data."""
 from __future__ import annotations
 
 import json
@@ -18,6 +20,8 @@ FAMILIES = OrderedDict([
     ("cavpart", "cavity step component breakdown"),
     ("cavity", "cavity step"),
     ("ps23", "ps23 step"),
+    ("ps32", "ps32 step (vs ps23 family above)"),
+    ("mxufft", "MXU-FFT relative error records"),
     ("restrict", "MG restriction (+conv prolong round trip)"),
     ("prolong", "MG prolongation (+conv restrict round trip)"),
     ("edge", "fused V-cycle edges vs XLA"),
@@ -25,6 +29,30 @@ FAMILIES = OrderedDict([
     ("arakawa", "vortex RHS"),
     ("euler", "Euler RHS"),
 ])
+
+# family winner -> the auto-selection heuristic it decides.  Hints are
+# emitted from the measured winner's name so the operator edits code +
+# winners.json from ONE summary instead of re-deriving the mapping.
+HEURISTICS = OrderedDict([
+    ("restrict", "poisson/multigrid.py:_transfers_choice (transfers=)"),
+    ("prolong", "poisson/multigrid.py:_transfers_choice (transfers=)"),
+    ("vcycle", "multigrid MGConfig defaults: transfers/smoother/fused "
+               "(vcycle_<transfers>_<smoother>_<fused> tag)"),
+    ("edge", "multigrid MGConfig.fused default (_use_fused)"),
+    ("fst", "models/cavity.py CavityConfig.poisson default"),
+    ("cavity", "models/cavity.py CavityConfig.poisson default "
+               "(full-step context)"),
+    ("fft2", "models/vortex.py VortexConfig.fft_impl default"),
+    ("ps23", "vortex solver formulation (half vs full vs mxufft; "
+             "pair_impl)"),
+    ("arakawa", "VortexConfig.rhs_impl / CavityConfig.rhs_impl default"),
+    ("euler", "EulerConfig.rhs_impl default"),
+])
+
+
+def _rank_key(r):
+    """Honest measurements first (by ms); below-floor artifacts last."""
+    return (1 if r.get("below_overhead_floor") else 0, r["ms"])
 
 
 def main(paths):
@@ -50,15 +78,19 @@ def main(paths):
         else:
             other.append(r)
 
+    winners = {}
     for fam, items in by_family.items():
         if not items:
             continue
         print(f"\n== {fam}: {FAMILIES[fam]}")
-        timed = sorted((r for r in items if "ms" in r),
-                       key=lambda r: r["ms"])
+        timed = sorted((r for r in items if "ms" in r), key=_rank_key)
         for i, r in enumerate(timed):
             mark = " <== winner" if i == 0 else ""
-            print(f"  {r['bench']:<44s} {r['ms']:>10.4f} ms{mark}")
+            floor = " [below overhead floor]" \
+                if r.get("below_overhead_floor") else ""
+            print(f"  {r['bench']:<44s} {r['ms']:>10.4f} ms{floor}{mark}")
+        if timed:
+            winners[fam] = timed[0]["bench"]
         for r in items:
             if "val" in r:
                 print(f"  {r['bench']:<44s} val={r['val']:.3e}")
@@ -68,6 +100,14 @@ def main(paths):
         print("\n== other")
         for r in other:
             print(f"  {r}")
+
+    if winners:
+        print("\n== auto-selection implications "
+              "(update code default + benchmarks/results/winners.json + "
+              "tests/test_autoselect.py together)")
+        for fam, target in HEURISTICS.items():
+            if fam in winners:
+                print(f"  {fam:<10s} winner {winners[fam]:<44s} -> {target}")
 
 
 if __name__ == "__main__":

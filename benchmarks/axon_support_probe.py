@@ -102,11 +102,16 @@ if __name__ == "__main__":
         sys.exit(0)
     for case in CASES:
         try:
+            # cold remote compiles take MINUTES (tpu-env-quirks); a
+            # short cap would report supported patterns as TIMEOUT and
+            # corrupt the support table this tool exists to produce
             p = subprocess.run([sys.executable, __file__, case],
-                               capture_output=True, text=True, timeout=280)
+                               capture_output=True, text=True, timeout=900)
             ok = p.returncode == 0 and "RESULT" in p.stdout
-            msg = p.stdout.strip().splitlines()[-1] if ok else \
-                (p.stderr.strip().splitlines()[-1][:110] if p.stderr else "?")
+            out_lines = p.stdout.strip().splitlines()
+            err_lines = (p.stderr or "").strip().splitlines()
+            msg = out_lines[-1] if ok and out_lines else \
+                (err_lines[-1][:110] if err_lines else "?")
         except subprocess.TimeoutExpired:
             ok, msg = False, "TIMEOUT"
         print(f"{'PASS' if ok else 'FAIL':4} {case:28} {msg}", flush=True)

@@ -37,7 +37,10 @@ timeout 7200 python benchmarks/run_tpu_smoke.py 2>&1 \
     | tee "$OUT/tpu_smoke_$STAMP.log"
 
 echo "== 5. candidate microbench (small sizes first) =="
-timeout 1800 python benchmarks/tpu_microbench.py --sizes small 2>&1 \
+# explicit per-family cap: the inner Pallas-family caps (3000 s) exceed
+# this stage's outer budget — a hang must cost one family, not the run
+timeout 2400 python benchmarks/tpu_microbench.py --sizes small \
+    --family-timeout 240 2>&1 \
     | tee "$OUT/microbench_small_$STAMP.log"
 
 echo "== 6. candidate microbench (north-star sizes) =="
