@@ -29,7 +29,14 @@ def _parse_value(field_type, raw: str):
     if tname == "bool":
         return raw.lower() in ("1", "true", "yes", "on")
     if tname == "int":
-        return int(raw)
+        try:
+            return int(raw)
+        except ValueError:
+            f = float(raw)         # accept integral "1e5" / "2.0"
+            if f != int(f):
+                raise ValueError(
+                    f"{raw!r} is not an integer value") from None
+            return int(f)
     if tname == "float":
         return float(raw)
     for cast in (int, float):
@@ -67,7 +74,14 @@ def cmd_run(args, extra):
             print(f"unknown override --{key} for preset {args.preset}; "
                   f"fields: {', '.join(fields)}", file=sys.stderr)
             return 2
-        overrides[key] = _parse_value(fields[key].type, extra[i + 1])
+        if i + 1 >= len(extra):
+            print(f"override --{key} needs a value", file=sys.stderr)
+            return 2
+        try:
+            overrides[key] = _parse_value(fields[key].type, extra[i + 1])
+        except ValueError as e:
+            print(f"override --{key}: {e}", file=sys.stderr)
+            return 2
         i += 2
 
     if args.sweep:
@@ -274,6 +288,10 @@ def _interp_2d(xc, yc, xf, yf, U):
     return along0(yc, yf, along0(xc, xf, U).T).T
 
 
+_ORDER_DEFAULT_SCHEMES = {"heat": "cn", "burgers": "weno",
+                          "poisson": "fft"}
+
+
 def _order_fields(args, ns):
     """Per-grid (coords, u, exact_err) for the order studies.
 
@@ -282,8 +300,10 @@ def _order_fields(args, ns):
     import numpy as np
 
     if not args.scheme:
-        args.scheme = {"heat": "icp", "poisson": "fft",
-                       "burgers": "weno"}[args.family]
+        # main() fills the CLI default; this covers direct callers with
+        # the SAME table (a second divergent table gave library callers
+        # a different default study than the CLI)
+        args.scheme = _ORDER_DEFAULT_SCHEMES[args.family]
     out = []
     if args.family == "heat":
         from cfd_julia_tpu.models import heat1d
@@ -438,6 +458,33 @@ def _cmd_order_body(args, ns):
     return 0
 
 
+def _plot_family(d):
+    """Solver family of a run (or sweep) directory, from its metrics —
+    the file names alone are ambiguous (euler sweep aliases
+    solution_d_<nx>.txt collide with burgers history names)."""
+    import os
+
+    from cfd_julia_tpu import presets
+
+    for fn, pick in (("metrics.json", lambda m: m),
+                     ("sweep_metrics.json", lambda m: m[0])):
+        p = os.path.join(d, fn)
+        if os.path.exists(p):
+            try:
+                with open(p) as fh:
+                    return presets.get(pick(json.load(fh))["preset"]).family
+            except (KeyError, IndexError, ValueError, json.JSONDecodeError):
+                pass
+    return None
+
+
+_CONTOUR_TITLES = {
+    # field_final.txt column meanings per family (run.py writers)
+    "cavity": ("vorticity", "streamfunction"),
+    "poisson": ("source f", "u", "u_exact"),
+}
+
+
 def cmd_plot(args):
     """Generate the reference's figures from a run directory."""
     import os
@@ -445,26 +492,47 @@ def cmd_plot(args):
     from cfd_julia_tpu.utils import plotting
 
     d = args.rundir
+    fam = _plot_family(d)
     made = []
     if os.path.exists(os.path.join(d, "field_final.csv")):
         plotting.heat_final(os.path.join(d, "field_final.csv"),
                             os.path.join(d, "field_final.png"))
         made.append("field_final.png")
-    for fn in os.listdir(d):
-        if fn.startswith("solution_") and fn.endswith(".txt") \
-                and fn not in ("solution_d.txt", "solution_v.txt",
-                               "solution_e.txt"):
-            plotting.burgers_history(os.path.join(d, fn),
-                                     os.path.join(d, fn[:-4] + ".png"))
-            made.append(fn[:-4] + ".png")
+    if fam != "euler":
+        # euler writes solution_{d,v,e}[_suffix].txt column dumps that
+        # would render as nonsense Burgers overlays
+        for fn in os.listdir(d):
+            if fn.startswith("solution_") and fn.endswith(".txt") \
+                    and fn not in ("solution_d.txt", "solution_v.txt",
+                                   "solution_e.txt"):
+                plotting.burgers_history(os.path.join(d, fn),
+                                         os.path.join(d, fn[:-4] + ".png"))
+                made.append(fn[:-4] + ".png")
     if os.path.exists(os.path.join(d, "solution_d.txt")):
         plotting.sod_profiles(d, os.path.join(d, "sod.png"),
                               true_dir=args.true_dir)
         made.append("sod.png")
     if os.path.exists(os.path.join(d, "field_final.txt")):
-        plotting.field_contours(os.path.join(d, "field_final.txt"),
-                                os.path.join(d, "contours.png"))
+        p = os.path.join(d, "field_final.txt")
+        with open(p) as fh:
+            ncols = len(fh.readline().split())
+        n_fields = max(1, ncols - 2)
+        titles = _CONTOUR_TITLES.get(
+            fam, tuple(f"field {k + 1}" for k in range(n_fields)))
+        plotting.field_contours(p, os.path.join(d, "contours.png"),
+                                n_fields=n_fields, titles=titles)
         made.append("contours.png")
+    # vortex snapshot dumps vm1..vmN.txt: contour the LAST snapshot
+    # (vm.jl:78-86 writes them; the reference plots the final state)
+    vms = sorted((fn for fn in os.listdir(d)
+                  if fn.startswith("vm") and fn.endswith(".txt")
+                  and fn[2:-4].isdigit()),
+                 key=lambda fn: int(fn[2:-4]))
+    if vms:
+        plotting.field_contours(os.path.join(d, vms[-1]),
+                                os.path.join(d, "vorticity.png"),
+                                n_fields=1, titles=("vorticity",))
+        made.append("vorticity.png")
     hists = {
         fn[:-len("_residual.txt")]: os.path.join(d, fn)
         for fn in os.listdir(d) if fn.endswith("_residual.txt")
@@ -485,10 +553,14 @@ def main(argv=None):
 
     configure_jax(cache_dir=None)
 
-    parser = argparse.ArgumentParser(prog="cfd_julia_tpu")
+    # allow_abbrev=False: prefix matching consumed "--re 1000" as
+    # an abbreviation of --resume, making the documented Reynolds
+    # override impossible to pass
+    parser = argparse.ArgumentParser(prog="cfd_julia_tpu",
+                                     allow_abbrev=False)
     sub = parser.add_subparsers(dest="cmd", required=True)
-    sub.add_parser("list")
-    pr = sub.add_parser("run")
+    sub.add_parser("list", allow_abbrev=False)
+    pr = sub.add_parser("run", allow_abbrev=False)
     pr.add_argument("preset")
     pr.add_argument("--outdir", default="out")
     pr.add_argument("--checkpoint-every", type=int, default=0,
@@ -502,7 +574,7 @@ def main(argv=None):
                     help="run the preset once per value (reference-style "
                          "grid sweep): per-point subdirectories + "
                          "aggregated sweep_metrics.json")
-    pb = sub.add_parser("bench")
+    pb = sub.add_parser("bench", allow_abbrev=False)
     pb.add_argument("--nx", type=int, default=0)
     pb.add_argument("--ps-nx", type=int, default=0,
                     help="pseudospectral secondary grid (0 = bench.py "
@@ -515,12 +587,12 @@ def main(argv=None):
                          "tier default: 1000 full / 50 quick)")
     pb.add_argument("--quick", action="store_true",
                     help="one variant, one compile (flaky-tunnel mode)")
-    sub.add_parser("validate")
-    pa = sub.add_parser("run-all")
+    sub.add_parser("validate", allow_abbrev=False)
+    pa = sub.add_parser("run-all", allow_abbrev=False)
     pa.add_argument("--outdir", default="out")
     pa.add_argument("--full", action="store_true",
                     help="full reference configs (slow)")
-    po = sub.add_parser("order")
+    po = sub.add_parser("order", allow_abbrev=False)
     po.add_argument("family", choices=["heat", "burgers", "poisson"])
     po.add_argument("--scheme", default=None)
     po.add_argument("--grids", default="32,64,128,256")
@@ -533,11 +605,18 @@ def main(argv=None):
     po.add_argument("--bc", default="periodic",
                     choices=["periodic", "dirichlet"],
                     help="burgers only; dirichlet requires --self")
-    pp = sub.add_parser("plot")
+    pp = sub.add_parser("plot", allow_abbrev=False)
     pp.add_argument("rundir")
     pp.add_argument("--true-dir", default=None)
 
     args, extra = parser.parse_known_args(argv)
+    if extra and args.cmd != "run":
+        # only `run` takes free-form config overrides; anywhere
+        # else a leftover is a misspelled flag ("bench --quik"
+        # silently ran the full bench instead of quick mode)
+        print(f"unrecognized arguments: {' '.join(extra)}",
+              file=sys.stderr)
+        return 2
     if args.cmd == "list":
         return cmd_list(args)
     if args.cmd == "run":
@@ -549,9 +628,6 @@ def main(argv=None):
     if args.cmd == "run-all":
         return cmd_run_all(args)
     if args.cmd == "order":
-        if args.scheme is None:
-            args.scheme = {"heat": "cn", "burgers": "weno",
-                           "poisson": "fft"}[args.family]
         return cmd_order(args)
     if args.cmd == "plot":
         return cmd_plot(args)

@@ -29,7 +29,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 def heat_final(field_csv: str, out: str):
     """Exact vs numerical + error from field_final.csv (x ue un uerror)."""
-    data = np.loadtxt(field_csv, skiprows=1)
+    data = np.loadtxt(field_csv, skiprows=1, ndmin=2)
     x, ue, un, err = data.T
     fig, (a1, a2) = plt.subplots(1, 2, figsize=(10, 4))
     a1.plot(x, ue, "k-", label="exact")
@@ -44,7 +44,7 @@ def heat_final(field_csv: str, out: str):
 
 def burgers_history(solution_txt: str, out: str):
     """Overlay of the ns stored snapshots (05_.../plotting2.jl:14-23)."""
-    data = np.loadtxt(solution_txt)
+    data = np.loadtxt(solution_txt, ndmin=2)
     x = data[:, 0]
     fig, ax = plt.subplots(figsize=(7, 4))
     for k in range(1, data.shape[1]):
@@ -98,8 +98,10 @@ def field_contours(field_txt: str, out: str, n_fields: int = 2,
     if n_fields == 1:
         axes = [axes]
     for k, ax in enumerate(axes):
-        ff = data[:, 2 + k].reshape(ny, nx).T  # file is j-major
-        cs = ax.contourf(x, y, ff.T, levels=30, cmap="RdBu_r")
+        # file is j-major; contourf wants (len(y), len(x)) = exactly
+        # the j-major reshape (the old .T ... .T round trip cancelled)
+        ff = data[:, 2 + k].reshape(ny, nx)
+        cs = ax.contourf(x, y, ff, levels=30, cmap="RdBu_r")
         fig.colorbar(cs, ax=ax)
         if k < len(titles):
             ax.set_title(titles[k])
@@ -114,7 +116,7 @@ def residual_comparison(histories: dict, out: str):
     fig, ax = plt.subplots(figsize=(7, 4.5))
     for label, h in histories.items():
         if isinstance(h, str):
-            data = np.loadtxt(h)
+            data = np.loadtxt(h, ndmin=2)
             it, rel = data[:, 0], data[:, 2]
         else:
             it, rel = h

@@ -71,6 +71,23 @@ def test_plot_residual_comparison(tmp_path):
     assert (d / "residuals.png").exists()
 
 
+def test_cli_no_prefix_abbreviation(tmp_path):
+    """argparse prefix matching consumed '--re 1000' as --resume, making
+    the documented Reynolds override impossible (review repro); stray
+    flags on non-run subcommands are rejected instead of silently
+    ignored ('bench --quik' ran the FULL bench)."""
+    rc = cli.main(["run", "cavity", "--outdir", str(tmp_path),
+                   "--re", "400", "--t_final", "0.005", "--dt", "0.001",
+                   "--nx", "16", "--ny", "16"])
+    assert rc == 0
+    import json as _json
+
+    m = _json.load(open(tmp_path / "metrics.json"))
+    assert m["preset"] == "cavity"
+    assert cli.main(["bench", "--quik"]) == 2
+    assert cli.main(["run", "heat_ftcs", "--nx"]) == 2  # missing value
+
+
 def test_observed_orders_helper():
     ns = [32, 64, 128]
     errs = [1e-2, 2.5e-3, 6.25e-4]
