@@ -300,9 +300,9 @@ def _order_fields(args, ns):
     import numpy as np
 
     if not args.scheme:
-        # main() fills the CLI default; this covers direct callers with
-        # the SAME table (a second divergent table gave library callers
-        # a different default study than the CLI)
+        # the ONE defaults table, filled here so CLI and direct callers
+        # share it (a second divergent table gave library callers a
+        # different default study than the CLI)
         args.scheme = _ORDER_DEFAULT_SCHEMES[args.family]
     out = []
     if args.family == "heat":
