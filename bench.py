@@ -185,25 +185,34 @@ def _timed_scan(step, state, steps: int, sync, chunk: int = 50):
     return steps / dt, state
 
 
-# Variant order = value order: the proven round-2 winner first, then the
-# microbench-ranked challengers (microbench_full_20260816T213326.log:
-# matmul_bf16x3 3.32 ms < fst_half 3.34 < fst 3.51 < matmul/fst_mxu), so
-# a budget exhaustion or tunnel flap still leaves the best-known number.
+# Variant order = value order: the proven on-chip winner first (round-4
+# full race, bench_full_20260818T102642.log: bf16x3+pallasrhs 938.2 >
+# bf16x3 866.5 > fst_half_mxu:high+pallasrhs 687.2 > matmul 629.2 >
+# fst+pallasrhs 587.2 > fst 570.2 > fst_mxu 478), then the untested
+# challengers, so a budget exhaustion or tunnel flap still leaves the
+# best-known number.  bf16x1 = single-pass bf16 transforms: ~0.3 ms/step
+# less MXU work than bf16x3; admitted only if the 1% physics anchors
+# accept its ~2e-3 transform error.  The fst_half*+xla combos were
+# PHYSICS-REJECTED on chip (psi_l2 19% low at 1024^2 — same solver
+# passes with the Pallas RHS; backend miscompile under investigation)
+# and stay out of the race until the root cause is fixed.
 CAVITY_VARIANTS = (
-    ("fst", "highest", "xla"), ("matmul_bf16x3", "highest", "xla"),
-    # bf16x3 transforms + fused Pallas RHS: the projected-fastest combo
-    # (PERF.md "matmul_bf16x3 precision bound") — raced before the
-    # single-lever challengers so a budget cut can't drop it
     ("matmul_bf16x3", "highest", "pallas"),
-    ("fst_half", "highest", "xla"), ("fst_half_mxu", "high", "xla"),
-    ("fst_mxu", "highest", "xla"), ("matmul", "highest", "xla"),
-    ("fst_half_mxu", "highest", "xla"), ("fst", "highest", "pallas"),
+    ("matmul_bf16x1", "highest", "pallas"),
+    ("matmul_bf16x1", "highest", "xla"),
+    ("matmul_bf16x3", "highest", "xla"),
+    ("fst", "highest", "xla"),
     ("fst_half_mxu", "high", "pallas"),
+    ("matmul", "highest", "xla"),
+    ("fst", "highest", "pallas"), ("fst_mxu", "highest", "xla"),
 )
 
+# Proven on-chip order (round-4 full race, bench_full_20260818T102642.log:
+# matmul:high 179.6 > matmul:high+rowsfirst 168.3 > xla+rowsfirst 164.2 >
+# xla 141.2 = matmul 141.2 steps/s, all physics ok).
 PS_VARIANTS = (
-    ("xla", "highest", "pack"), ("xla", "highest", "rowsfirst"),
     ("matmul", "high", "pack"), ("matmul", "high", "rowsfirst"),
+    ("xla", "highest", "rowsfirst"), ("xla", "highest", "pack"),
     ("matmul", "highest", "pack"),
 )
 
@@ -539,8 +548,9 @@ def main(argv=None):
         return fam[: args.max_variants] if args.max_variants > 0 else fam
 
     # --quick keeps its one-compile-one-number contract: only the proven
-    # fst variant; the full run races every formulation
-    variants = ("fst,highest,xla",) if args.quick else \
+    # on-chip winner (= CAVITY_VARIANTS[0]); the full run races every
+    # formulation
+    variants = (",".join(CAVITY_VARIANTS[0]),) if args.quick else \
         tuple(",".join(v) for v in _cap(CAVITY_VARIANTS))
     all_results = []
     cavity_sps, cavity_impl = race(

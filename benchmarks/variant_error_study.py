@@ -135,7 +135,8 @@ def _jobs(quick: bool):
                 lambda: mg_case(256)]
     return [lambda: cavity_cases(1024, 500,
                                  [("fst_half_mxu", "high"),
-                                  ("matmul_bf16x3", "highest")]),
+                                  ("matmul_bf16x3", "highest"),
+                                  ("matmul_bf16x1", "highest")]),
             lambda: ps23_case(2048, 60, "matmul", "high"),
             lambda: mg_case(2048)]
 

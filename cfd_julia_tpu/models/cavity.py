@@ -209,8 +209,8 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
         def rhs_interior(w, s):
             return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
-    if cfg.poisson not in ("fst", "matmul", "matmul_bf16x3", "fst_mxu",
-                           "fst_half", "fst_half_mxu"):
+    if cfg.poisson not in ("fst", "matmul", "matmul_bf16x3", "matmul_bf16x1",
+                           "fst_mxu", "fst_half", "fst_half_mxu"):
         # a typo'd variant name must never silently run (and get
         # benchmarked as) the default solver
         raise ValueError(f"unknown poisson solver {cfg.poisson!r}")
@@ -219,12 +219,18 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
             f"poisson={cfg.poisson!r} is single-device only; the mesh-"
             "aware step uses poisson='fst'/'fst_half' (pencil DST) or "
             "make_padded_step_fn (matmul DST with native sharding)")
-    if cfg.poisson in ("matmul", "matmul_bf16x3"):
+    if cfg.poisson in ("matmul", "matmul_bf16x3", "matmul_bf16x1"):
         # interior-aligned matmul solver: reads the interior, returns
         # exact-zero walls — same contract as solve_fst, with dot
         # operands MXU-tile-aligned (1023 -> 1024 lanes instead of
-        # 1025 -> 1152; ~26% less MXU work at 1024^2)
-        prec = "high" if cfg.poisson == "matmul_bf16x3" else "highest"
+        # 1025 -> 1152; ~26% less MXU work at 1024^2).  Precision tiers:
+        # highest = fp32-exact (6-pass bf16), high = 3-pass bf16
+        # (~1e-6 rel transform error), default = single-pass bf16
+        # (~2e-3 rel — raced only behind the bench's 1% physics anchors,
+        # which reject any trajectory deviation past the fp32 study
+        # bound's order of magnitude)
+        prec = {"matmul_bf16x3": "high",
+                "matmul_bf16x1": "default"}.get(cfg.poisson, "highest")
         solve = lambda f: direct.solve_fst_matmul_interior(
             f, cfg.nx, cfg.ny, dx, dy, mm_precision=prec)
     elif cfg.poisson == "fst_half_mxu":

@@ -278,8 +278,10 @@ def test_max_variants_caps_every_family(monkeypatch, tmp_path, capsys):
 
     monkeypatch.setattr(bench, "race", fake_race)
     assert bench.main(["--max-variants", "1"]) == 0
-    assert raced["cavity"] == ("fst,highest,xla",)
-    assert raced["ps23"] == ("xla,highest,pack",)
+    # the secure pass runs each family's PROVEN on-chip winner (round-4
+    # full race, bench_full_20260818T102642.log)
+    assert raced["cavity"] == ("matmul_bf16x3,highest,pallas",)
+    assert raced["ps23"] == ("matmul,high,pack",)
     assert raced["mg"] == ("matmul,off,plain",)
     out = capsys.readouterr().out
     assert '"value": 100.0' in out
