@@ -31,6 +31,42 @@ from cfd_julia_tpu.ops import arakawa
 from cfd_julia_tpu.poisson import direct
 
 
+def _poisson_choice(name: str, backend: str | None = None, *,
+                    single_device: bool = True) -> str:
+    """Resolve poisson="auto" to the measured winner for the backend.
+
+    On TPU the round-4 full bench (benchmarks/results/
+    bench_full_20260818T102642.log) ranks the interior-aligned 3-pass-bf16
+    matmul DST first at the north-star 1024^2 (matmul_bf16x3 866.5 steps/s
+    vs fst 570.2, trajectory within 3e-5 of the fp32 fst baseline and
+    inside the 1% fp64 physics anchors); off-TPU the precision knob is a
+    no-op and the rfft DST-I avoids materializing dense sine matrices.
+    benchmarks/results/winners.json records the measurements;
+    tests/test_autoselect.py asserts this resolver agrees with them."""
+    if name != "auto":
+        return name
+    if not single_device:
+        return "fst"  # mesh runs need the pencil-shardable DST; the
+                      # matmul winner is single-device only
+    backend = backend or jax.default_backend()
+    return "matmul_bf16x3" if backend == "tpu" else "fst"
+
+
+def _rhs_choice(name: str, backend: str | None = None, *,
+                static_re: bool = True, single_device: bool = True) -> str:
+    """Resolve rhs_impl="auto": the fused Pallas Arakawa+Laplacian slab is
+    the measured TPU winner (938.2 vs 866.5 steps/s with the same solver,
+    round-4 full bench), but it bakes re in and is single-device, so auto
+    falls back to the XLA RHS for traced re, mesh runs, or other
+    backends (where Pallas would run interpreted)."""
+    if name != "auto":
+        return name
+    backend = backend or jax.default_backend()
+    if backend == "tpu" and static_re and single_device:
+        return "pallas"
+    return "xla"
+
+
 @dataclasses.dataclass(frozen=True)
 class CavityConfig:
     nx: int = 64
@@ -39,7 +75,10 @@ class CavityConfig:
     t_final: float = 10.0
     re: float = 100.0
     bc_order: int = 2        # 1 = Hoffmann, 2 = Jensen (reference default)
-    poisson: str = "fst"     # fst (DST-I via odd-extension rfft) |
+    poisson: str = "auto"    # auto (measured winner for the backend:
+                             # matmul_bf16x3 on TPU, fst elsewhere — see
+                             # _poisson_choice) |
+                             # fst (DST-I via odd-extension rfft) |
                              # fst_half (DST-I via the half-length rfft +
                              # pre/post passes) | matmul (dense MXU sine
                              # transform) | fst_mxu (DST-I via the
@@ -48,7 +87,9 @@ class CavityConfig:
                              # eigenvalues and results; TPU microbench picks
     fft_precision: str = "highest"   # matmul-FFT impls: "highest"
                              # (fp32-exact) | "high" (3-pass bf16, 2x MXU)
-    rhs_impl: str = "xla"    # xla | pallas — the fused single-slab
+    rhs_impl: str = "auto"   # auto (pallas on TPU with static re,
+                             # xla elsewhere — see _rhs_choice) | xla |
+                             # pallas — the fused single-slab
                              # Arakawa+Laplacian kernel; its periodic wrap
                              # rows are discarded (only the interior of
                              # the RHS is used), so it matches exactly
@@ -190,8 +231,11 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
     dx, dy, dt = cfg.dx, cfg.dy, cfg.dt
     re_is_static = re is None
     re = cfg.re if re is None else re
+    rhs_impl = _rhs_choice(cfg.rhs_impl, static_re=re_is_static,
+                           single_device=mesh is None)
+    poisson = _poisson_choice(cfg.poisson, single_device=mesh is None)
 
-    if cfg.rhs_impl == "pallas":
+    if rhs_impl == "pallas":
         if mesh is not None:
             raise ValueError(
                 "rhs_impl='pallas' is single-device only (the mesh-aware "
@@ -209,17 +253,17 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
         def rhs_interior(w, s):
             return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
-    if cfg.poisson not in ("fst", "matmul", "matmul_bf16x3", "matmul_bf16x1",
-                           "fst_mxu", "fst_half", "fst_half_mxu"):
+    if poisson not in ("fst", "matmul", "matmul_bf16x3", "matmul_bf16x1",
+                       "fst_mxu", "fst_half", "fst_half_mxu"):
         # a typo'd variant name must never silently run (and get
         # benchmarked as) the default solver
-        raise ValueError(f"unknown poisson solver {cfg.poisson!r}")
-    if mesh is not None and cfg.poisson not in ("fst", "fst_half"):
+        raise ValueError(f"unknown poisson solver {poisson!r}")
+    if mesh is not None and poisson not in ("fst", "fst_half"):
         raise ValueError(
-            f"poisson={cfg.poisson!r} is single-device only; the mesh-"
+            f"poisson={poisson!r} is single-device only; the mesh-"
             "aware step uses poisson='fst'/'fst_half' (pencil DST) or "
             "make_padded_step_fn (matmul DST with native sharding)")
-    if cfg.poisson in ("matmul", "matmul_bf16x3", "matmul_bf16x1"):
+    if poisson in ("matmul", "matmul_bf16x3", "matmul_bf16x1"):
         # interior-aligned matmul solver: reads the interior, returns
         # exact-zero walls — same contract as solve_fst, with dot
         # operands MXU-tile-aligned (1023 -> 1024 lanes instead of
@@ -230,18 +274,18 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
         # which reject any trajectory deviation past the fp32 study
         # bound's order of magnitude)
         prec = {"matmul_bf16x3": "high",
-                "matmul_bf16x1": "default"}.get(cfg.poisson, "highest")
+                "matmul_bf16x1": "default"}.get(poisson, "highest")
         solve = lambda f: direct.solve_fst_matmul_interior(
             f, cfg.nx, cfg.ny, dx, dy, mm_precision=prec)
-    elif cfg.poisson == "fst_half_mxu":
+    elif poisson == "fst_half_mxu":
         # half-length DST with its rfft on the MXU
         solve = lambda f: direct.solve_fst(f, dx, dy, impl="half_mxu",
                                            precision=cfg.fft_precision)
-    elif cfg.poisson == "fst_mxu":
+    elif poisson == "fst_mxu":
         # odd-extension DST through the four-step MXU FFT
         solve = lambda f: direct.solve_fst(f, dx, dy, impl="matmul",
                                            precision=cfg.fft_precision)
-    elif cfg.poisson == "fst_half":
+    elif poisson == "fst_half":
         # half-length-rfft DST (FFTPACK-style pre/post passes); the
         # pre/post passes are axis-local elementwise+cumsum, so the
         # pencil constraint shards them like the rfft itself

@@ -31,6 +31,9 @@ def vortex_fdm_re_sweep(cfg: vortex.VortexConfig, reynolds, dtype=None
     """Run the FDM vortex merger for a batch of Reynolds numbers in one
     batched device program (vmapped over the viscous coefficient)."""
     dtype = dtype or precision.default_dtype()
+    # re is vmapped (traced) here, so "auto" must not pick the Pallas
+    # RHS, which bakes a static re into the kernel
+    cfg = vortex._resolved(cfg, static_re=False)
     res = jnp.asarray(reynolds, dtype)
     w0 = vortex.initial_vorticity(cfg, dtype)
     w0_b = jnp.broadcast_to(w0, (res.shape[0],) + w0.shape)

@@ -51,12 +51,18 @@ class VortexConfig:
     ns: int = 10             # snapshots
     ic: str = "vm"           # vm | tgv
     tgv_n: int = 4
-    rhs_impl: str = "xla"    # xla | pallas (fdm solver's Arakawa kernel)
-    fft_impl: str = "xla"    # xla | matmul (four-step MXU FFT,
-                             # ops.mxu_fft; any composite grid size)
-    fft_precision: str = "highest"   # matmul-FFT precision: "highest"
-                             # (fp32-exact 6-pass bf16) | "high" (3-pass,
-                             # ~fp32 accuracy, 2x MXU throughput)
+    rhs_impl: str = "auto"   # auto (pallas on TPU, xla elsewhere — the
+                             # fused kernel won 0.22 vs 0.42 ms at 2048^2
+                             # on chip) | xla | pallas (fdm Arakawa)
+    fft_impl: str = "auto"   # auto (matmul on TPU for the ps23 solver —
+                             # the measured full-step winner; xla
+                             # elsewhere) | xla | matmul (four-step MXU
+                             # FFT, ops.mxu_fft; any composite grid size)
+    fft_precision: str = "auto"      # matmul-FFT precision: auto ("high"
+                             # when fft_impl auto-resolves to matmul,
+                             # else "highest") | "highest" (fp32-exact
+                             # 6-pass bf16) | "high" (3-pass, ~fp32
+                             # accuracy, 2x MXU throughput)
     pair_impl: str = "pack"  # pack (full Hermitian mirror, then ifft2) |
                              # rowsfirst (mirror after the kx transform:
                              # no row flip, all half-blocks in one
@@ -80,9 +86,9 @@ class VortexConfig:
         # benchmarked as) the default implementation
         _check = (("solver", ("fdm", "hybrid", "ps32", "ps23")),
                   ("ic", ("vm", "tgv")),
-                  ("rhs_impl", ("xla", "pallas")),
-                  ("fft_impl", ("xla", "matmul")),
-                  ("fft_precision", ("highest", "high")),
+                  ("rhs_impl", ("auto", "xla", "pallas")),
+                  ("fft_impl", ("auto", "xla", "matmul")),
+                  ("fft_precision", ("auto", "highest", "high")),
                   ("pair_impl", ("pack", "rowsfirst")))
         for name, allowed in _check:
             if getattr(self, name) not in allowed:
@@ -91,6 +97,32 @@ class VortexConfig:
                                  f"{' | '.join(allowed)})")
         if self.ns < 1:
             raise ValueError("ns (snapshot count) must be >= 1")
+
+
+def _resolved(cfg: VortexConfig, *, single_device: bool = True,
+              static_re: bool = True) -> VortexConfig:
+    """Resolve "auto" impl selectors to the measured on-chip winners
+    (benchmarks/results/winners.json): ps23 2048^2 full bench ranks
+    matmul:high+pack 179.6 > xla:highest+rowsfirst 164.2 > xla:highest
+    +pack 141.2 steps/s, and the fused Pallas Arakawa slab beats the XLA
+    RHS 0.22 vs 0.42 ms at 2048^2 (bench_full/microbench_full_
+    20260818T102642.log).  Off-TPU, under a mesh, or with a traced/
+    batched re everything resolves to the XLA paths: Pallas would run
+    interpreted (or needs static re), the matmul FFT and rowsfirst are
+    single-device formulations, and the precision knob is a no-op.
+    tests/test_autoselect.py pins this resolver to winners.json."""
+    tpu = single_device and jax.default_backend() == "tpu"
+    kw = {}
+    if cfg.rhs_impl == "auto":
+        kw["rhs_impl"] = "pallas" if (tpu and static_re) else "xla"
+    if cfg.fft_impl == "auto":
+        kw["fft_impl"] = "matmul" if (tpu and cfg.solver == "ps23") \
+            else "xla"
+    if cfg.fft_precision == "auto":
+        kw["fft_precision"] = (
+            "high" if kw.get("fft_impl", cfg.fft_impl) == "matmul"
+            else "highest")
+    return dataclasses.replace(cfg, **kw) if kw else cfg
 
 
 @dataclasses.dataclass
@@ -369,6 +401,7 @@ def make_spectral_step_half(cfg: VortexConfig, dtype, mesh=None):
     elementwise stage math keeps the field sharding.  Mesh mode requires
     the XLA FFT + "pack" pair path (matmul FFT and rowsfirst are
     single-device formulations)."""
+    cfg = _resolved(cfg, single_device=mesh is None)
     nx, ny = cfg.nx, cfg.ny
     if mesh is not None and (cfg.fft_impl != "xla"
                              or cfg.pair_impl != "pack"):
@@ -576,6 +609,7 @@ def solve(cfg: VortexConfig, dtype=None, checkpoint_every: int = 0,
     the same per-chunk scans as the single-jit path, so an interrupted
     and resumed run reproduces it bit-for-bit."""
     dtype = dtype or precision.default_dtype()
+    cfg = _resolved(cfg)
     w0 = initial_vorticity(cfg, dtype)
     x = jnp.arange(cfg.nx + 1, dtype=dtype) * cfg.dx
     y = jnp.arange(cfg.ny + 1, dtype=dtype) * cfg.dy

@@ -69,7 +69,9 @@ def make_sharded_vortex_step(cfg, mesh, dtype):
         # the single-device variant selectors do not partition: the
         # Pallas slab kernel and the matmul FFT are single-device forms
         # (parallel.halo carries the manual-collective stencil RHS) —
-        # fail loudly rather than silently timing the default
+        # "auto" resolves to the XLA forms here; anything else explicit
+        # fails loudly rather than silently timing the default
+        cfg = vortex_model._resolved(cfg, single_device=False)
         if cfg.rhs_impl != "xla" or cfg.fft_impl != "xla":
             raise ValueError(
                 f"sharded fdm step supports rhs_impl='xla'/fft_impl="

@@ -31,11 +31,15 @@ def test_mg_smoother_auto_matches_measured_winner():
     assert multigrid._pick_smoother(n, n, backend="tpu") == rec["winner"]
     assert multigrid._pick_smoother(n // 2, n // 2, backend="tpu") == "xla"
     assert multigrid._pick_smoother(4096, 4096, backend="cpu") == "xla"
+    # the smoother record ranks the pallas V-cycle ahead of the cheb one
+    ms = rec["measured_ms_at_4096"]
+    assert ms["vcycle_matmul_pallas_off"] < ms["vcycle_matmul_cheb_off"]
 
 
 def test_mg_fused_auto_off_until_measured():
-    """fused="auto" must resolve OFF: the only measured 4096^2 V-cycle win
-    is the unfused matmul form; no fused combo has an on-chip number."""
+    """fused="auto" must resolve OFF: the fused level-edge V-cycle still
+    fails remote compile at 4096^2 (winners.json mg_vcycle note); the only
+    measured whole-V-cycle win is the unfused matmul+pallas form."""
     cfg = multigrid.MGConfig(fused="auto")
     assert not multigrid._use_fused(cfg, 4096, 4096, halo_rows=2)
     assert multigrid._use_fused(
@@ -47,14 +51,72 @@ def test_explicit_transfers_still_selectable():
         assert multigrid._transfers_choice(name, backend="tpu") == name
 
 
-def test_cavity_default_poisson_is_measured_winner():
-    assert cavity.CavityConfig().poisson == WINNERS["cavity_poisson"]["winner"]
-    sps = WINNERS["cavity_poisson"]["full_bench_steps_per_sec_at_1024"]
-    assert sps[cavity.CavityConfig().poisson] == max(sps.values())
+def test_cavity_auto_poisson_is_measured_winner():
+    rec = WINNERS["cavity_poisson"]
+    assert cavity.CavityConfig().poisson == "auto"
+    assert cavity._poisson_choice("auto", backend="tpu") == rec["winner"]
+    sps = rec["full_bench_steps_per_sec_at_1024"]
+    assert sps[rec["winner"]] == max(sps.values())
+    # off-TPU and under a mesh the fallback is the rfft DST
+    assert cavity._poisson_choice("auto", backend="cpu") == "fst"
+    assert cavity._poisson_choice(
+        "auto", backend="tpu", single_device=False) == "fst"
+    # explicit names pass through untouched
+    assert cavity._poisson_choice("fst_mxu", backend="tpu") == "fst_mxu"
 
 
-def test_vortex_default_fft_is_measured_winner():
-    assert vortex.VortexConfig().fft_impl == \
-        WINNERS["vortex_fft_impl"]["winner"]
+def test_cavity_auto_rhs_is_measured_winner():
+    rec = WINNERS["cavity_poisson"]
+    assert cavity.CavityConfig().rhs_impl == "auto"
+    assert cavity._rhs_choice("auto", backend="tpu") == rec["rhs_winner"]
+    with_rhs = rec["full_bench_steps_per_sec_at_1024_with_pallas_rhs"]
+    without = rec["full_bench_steps_per_sec_at_1024"]
+    assert with_rhs["matmul_bf16x3"] > without["matmul_bf16x3"]
+    # pallas bakes re in and is single-device: traced re / mesh / other
+    # backends fall back to the XLA RHS
+    assert cavity._rhs_choice("auto", backend="cpu") == "xla"
+    assert cavity._rhs_choice("auto", backend="tpu",
+                              static_re=False) == "xla"
+    assert cavity._rhs_choice("auto", backend="tpu",
+                              single_device=False) == "xla"
+    assert cavity._rhs_choice("xla", backend="tpu") == "xla"
+
+
+def test_vortex_auto_resolves_to_measured_winners(monkeypatch):
+    rec = WINNERS["ps23_step"]
+    monkeypatch.setattr(vortex.jax, "default_backend", lambda: "tpu")
+    ps = vortex._resolved(vortex.VortexConfig(solver="ps23"))
+    assert (ps.fft_impl, ps.fft_precision, ps.pair_impl) == (
+        rec["fft_winner"], rec["precision_winner"], rec["pair_winner"])
+    sps = rec["full_bench_steps_per_sec_at_2048"]
+    assert sps["matmul:high+pack"] == max(sps.values())
+    # fdm keeps the fp32-exact XLA FFT (winner within the highest tier)
+    fdm = vortex._resolved(vortex.VortexConfig(solver="fdm"))
+    assert fdm.fft_impl == WINNERS["vortex_fft_impl"]["winner"] == "xla"
+    assert fdm.fft_precision == "highest"
+    assert fdm.rhs_impl == "pallas"  # measured 0.22 vs 0.42 ms at 2048^2
+    # traced/batched re (ensemble) and mesh runs fall back to XLA forms
+    nore = vortex._resolved(vortex.VortexConfig(solver="fdm"),
+                            static_re=False)
+    assert nore.rhs_impl == "xla"
+    sharded = vortex._resolved(vortex.VortexConfig(solver="ps23"),
+                               single_device=False)
+    assert (sharded.fft_impl, sharded.rhs_impl) == ("xla", "xla")
+
+
+def test_vortex_auto_off_tpu_is_xla(monkeypatch):
+    monkeypatch.setattr(vortex.jax, "default_backend", lambda: "cpu")
+    r = vortex._resolved(vortex.VortexConfig(solver="ps23"))
+    assert (r.rhs_impl, r.fft_impl, r.fft_precision) == (
+        "xla", "xla", "highest")
+    # explicit selections pass through
+    e = vortex._resolved(vortex.VortexConfig(
+        solver="ps23", fft_impl="matmul", fft_precision="high",
+        rhs_impl="xla"))
+    assert (e.rhs_impl, e.fft_impl, e.fft_precision) == (
+        "xla", "matmul", "high")
+
+
+def test_vortex_fft_ms_record_ranks_xla_first_at_highest():
     ms = WINNERS["vortex_fft_impl"]["measured_ms_at_2048"]
     assert ms["fft2_xla"] == min(ms.values())
