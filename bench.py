@@ -186,19 +186,21 @@ def _timed_scan(step, state, steps: int, sync, chunk: int = 50):
 
 
 # Variant order = value order: the proven on-chip winner first (round-4
-# full race, bench_full_20260818T102642.log: bf16x3+pallasrhs 938.2 >
-# bf16x3 866.5 > fst_half_mxu:high+pallasrhs 687.2 > matmul 629.2 >
-# fst+pallasrhs 587.2 > fst 570.2 > fst_mxu 478), then the untested
-# challengers, so a budget exhaustion or tunnel flap still leaves the
-# best-known number.  bf16x1 = single-pass bf16 transforms: ~0.3 ms/step
-# less MXU work than bf16x3; admitted only if the 1% physics anchors
-# accept its ~2e-3 transform error.  The fst_half*+xla combos were
+# full race, bench_full_20260818T120555.log: bf16x1+pallasrhs 1304.6 >
+# bf16x1 1170 > bf16x3+pallasrhs 937.5 > bf16x3 868 >
+# fst_half_mxu:high+pallasrhs 687.3 > matmul 635.9 > fst+pallasrhs
+# 586.9 > fst 570.2 > fst_mxu 477.7), then the rest, so a budget
+# exhaustion or tunnel flap still leaves the best-known number.
+# bf16x1 = single-pass bf16 transforms, physics-accepted on chip
+# (rel_l2_psi 1.2e-3 vs the fst fp32 baseline at 500 steps — inside the
+# 1% fp64 anchors; bf16x3 at 4.8e-6 stays the user-facing auto default,
+# see winners.json).  The fst_half*+xla combos were
 # PHYSICS-REJECTED on chip (psi_l2 19% low at 1024^2 — same solver
 # passes with the Pallas RHS; backend miscompile under investigation)
 # and stay out of the race until the root cause is fixed.
 CAVITY_VARIANTS = (
-    ("matmul_bf16x3", "highest", "pallas"),
     ("matmul_bf16x1", "highest", "pallas"),
+    ("matmul_bf16x3", "highest", "pallas"),
     ("matmul_bf16x1", "highest", "xla"),
     ("matmul_bf16x3", "highest", "xla"),
     ("fst", "highest", "xla"),
