@@ -279,8 +279,8 @@ def test_max_variants_caps_every_family(monkeypatch, tmp_path, capsys):
     monkeypatch.setattr(bench, "race", fake_race)
     assert bench.main(["--max-variants", "1"]) == 0
     # the secure pass runs each family's PROVEN on-chip winner (round-4
-    # full race, bench_full_20260818T102642.log)
-    assert raced["cavity"] == ("matmul_bf16x3,highest,pallas",)
+    # full race, bench_full_20260818T120555.log)
+    assert raced["cavity"] == ("matmul_bf16x1,highest,pallas",)
     assert raced["ps23"] == ("matmul,high,pack",)
     assert raced["mg"] == ("matmul,off,plain",)
     out = capsys.readouterr().out
