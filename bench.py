@@ -218,17 +218,17 @@ PS_VARIANTS = (
     ("matmul", "highest", "pack"),
 )
 
-# (transfers, fused, fmg[, smoother]): matmul transfers measured 12x
-# faster in the full V-cycle on chip (vcycle_matmul_pallas 18.2 ms vs
-# conv_pallas 220.5 ms at 4096^2, microbench_full_20260816T213326.log);
-# conv kept as one cross-check entry.  cheb = Chebyshev-Jacobi smoother:
-# ~30% fewer fine-level stencil passes to tol than RB (5 cycles x 5
-# passes vs 4 x 9 at 512^2 CPU), pure dataflow (no mask constants, no
-# HTTP-413 exposure) — on-chip race decides vs the Pallas-fused RB slab.
+# (transfers, fused, fmg[, smoother]) in measured value order
+# (2026-08-18 windowed solves at 4096^2): fused edges 0.1195 s <
+# fused fmg 0.1217 < unfused 0.1529 < unfused fmg 0.1675 < cheb 0.193 <
+# conv 1.629 (kept as one cross-check entry).  cheb = Chebyshev-Jacobi
+# smoother: fewer fine-level passes but no fused-edge form, measured
+# slower than the Pallas RB slab on chip.
 MG_VARIANTS = (
+    ("matmul", "on", "plain"), ("matmul", "on", "fmg"),
     ("matmul", "off", "plain"), ("matmul", "off", "fmg"),
     ("matmul", "off", "plain", "cheb"),
-    ("matmul", "on", "plain"), ("conv", "off", "plain"),
+    ("conv", "off", "plain"),
 )
 
 

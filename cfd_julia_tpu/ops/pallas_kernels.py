@@ -266,7 +266,7 @@ def _smooth_res_restrict_kernel(u_hbm, f_hbm, u_out, fc_out, us, fs,
 
 
 def smooth_residual_restrict_fused(u, f, dx: float, dy: float,
-                                   sweeps: int, tile: int = 64,
+                                   sweeps: int, tile: int | None = None,
                                    interpret: bool | None = None):
     """The complete V-cycle descend edge in ONE slab pass: `sweeps`
     red-black GS pre-smoothing sweeps, 5-point residual, full-weighting
@@ -277,8 +277,15 @@ def smooth_residual_restrict_fused(u, f, dx: float, dy: float,
     if interpret is None:
         interpret = not _on_tpu()
     assert 2 * sweeps + 2 <= GUARD, "sweeps too large for the halo guard"
-    assert tile % 8 == 0, "coarse tile must keep slab DMAs 8-row aligned"
     n_rows, n_cols = u.shape
+    if tile is None:
+        # auto: a 64-row slab at >=4096-wide grids overflows the ~16 MB
+        # scoped-VMEM budget (measured 17.00M > 16.00M at 4097^2 inside
+        # the fused V-cycle, 2026-08-18 battery); halving the slab keeps
+        # the whole working set (double-buffered out blocks + halo
+        # scratch) comfortably inside it at any grid this package runs
+        tile = 32 if n_cols + (-n_cols) % 256 >= 4096 else 64
+    assert tile % 8 == 0, "coarse tile must keep slab DMAs 8-row aligned"
     ncr, ncc = (n_rows - 1) // 2 + 1, (n_cols - 1) // 2 + 1
     tc = tile
     tn = -(-ncr // tc)
@@ -322,7 +329,8 @@ def smooth_residual_restrict_fused(u, f, dx: float, dy: float,
     return us_out[:n_rows, :n_cols], jnp.where(keep, fc, 0.0)
 
 
-def residual_restrict_fused(u, f, dx: float, dy: float, tile: int = 64,
+def residual_restrict_fused(u, f, dx: float, dy: float,
+                            tile: int | None = None,
                             interpret: bool | None = None):
     """restriction(residual_full(f, u, interior)) as ONE slab pass:
     5-point residual + full-weighting fine->coarse transfer fused, the
@@ -331,8 +339,15 @@ def residual_restrict_fused(u, f, dx: float, dy: float, tile: int = 64,
     node-centred (nx+1, ny+1) grids."""
     if interpret is None:
         interpret = not _on_tpu()
-    assert tile % 8 == 0, "coarse tile must keep slab DMAs 8-row aligned"
     n_rows, n_cols = u.shape
+    if tile is None:
+        # auto: a 64-row slab at >=4096-wide grids overflows the ~16 MB
+        # scoped-VMEM budget (measured 17.00M > 16.00M at 4097^2 inside
+        # the fused V-cycle, 2026-08-18 battery); halving the slab keeps
+        # the whole working set (double-buffered out blocks + halo
+        # scratch) comfortably inside it at any grid this package runs
+        tile = 32 if n_cols + (-n_cols) % 256 >= 4096 else 64
+    assert tile % 8 == 0, "coarse tile must keep slab DMAs 8-row aligned"
     ncr, ncc = (n_rows - 1) // 2 + 1, (n_cols - 1) // 2 + 1
     tc = tile                            # coarse rows per program
     tn = -(-ncr // tc)                   # programs
@@ -426,7 +441,7 @@ def _prolong_smooth_kernel(u_hbm, f_hbm, uc_hbm, out_ref, us, fs, ucs,
 
 
 def prolong_correct_smooth_fused(u, f, uc, dx: float, dy: float,
-                                 sweeps: int, tile: int = 64,
+                                 sweeps: int, tile: int | None = None,
                                  interpret: bool | None = None):
     """The complete V-cycle ascend edge — bilinear prolongation of the
     coarse correction, interior-masked add, then `sweeps` red-black GS
@@ -436,8 +451,15 @@ def prolong_correct_smooth_fused(u, f, uc, dx: float, dy: float,
     if interpret is None:
         interpret = not _on_tpu()
     assert 2 * sweeps <= GUARD, "sweeps too large for the halo guard"
-    assert tile % 16 == 0, "coarse slab DMAs need tile//2 8-row aligned"
     n_rows, n_cols = u.shape
+    if tile is None:
+        # auto: a 64-row slab at >=4096-wide grids overflows the ~16 MB
+        # scoped-VMEM budget (measured 17.00M > 16.00M at 4097^2 inside
+        # the fused V-cycle, 2026-08-18 battery); halving the slab keeps
+        # the whole working set (double-buffered out blocks + halo
+        # scratch) comfortably inside it at any grid this package runs
+        tile = 32 if n_cols + (-n_cols) % 256 >= 4096 else 64
+    assert tile % 16 == 0, "coarse slab DMAs need tile//2 8-row aligned"
     nc_rows, nc_cols = uc.shape
     tn = -(-n_rows // tile)
     rows_fp = tile * tn + 2 * GUARD

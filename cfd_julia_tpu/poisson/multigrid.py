@@ -216,11 +216,12 @@ class MGConfig:
     transfers: str = "auto"    # auto | conv | matmul | reshape
                                # (benchmarks/tpu_microbench.py measures)
     fused: str = "auto"        # auto | on | off: Pallas-fused level-edge
-                               # kernels (residual+restrict descend,
-                               # prolong+correct+smooth ascend).  auto=off:
-                               # the best measured V-cycle is the unfused
-                               # matmul-transfer form (18.2 ms @ 4096^2);
-                               # "on" stays raced in bench.py
+                               # kernels (smooth+residual+restrict descend,
+                               # prolong+correct+smooth ascend).  auto=on
+                               # for Pallas-smoother levels: the fused
+                               # V-cycle is the measured 4096^2 winner
+                               # (0.1195 s vs 0.1529 s unfused on chip,
+                               # 2026-08-18); raced in bench.py
     smoother: str = "auto"     # auto (RB-GS: Pallas on big TPU levels,
                                # XLA rolls elsewhere) | cheb (Chebyshev-
                                # Jacobi: unmasked dataflow, one stencil
@@ -286,12 +287,15 @@ def _use_fused(cfg: MGConfig, nx: int, ny: int, halo_rows: int) -> bool:
         return False               # sweeps exceed the halo guard
     if cfg.fused == "on":
         return True
-    # "auto" = off: the best MEASURED V-cycle on chip is the unfused
-    # matmul-transfer + Pallas-smoother form (18.2 ms @ 4096^2); the fused
-    # level edges have no on-chip V-cycle win recorded yet (the fused
-    # combos hit the microbench family timeout).  bench.py races
-    # fused="on" so a measured win can flip this default.
-    return False
+    if cfg.fused == "off":
+        return False
+    # "auto" = fused on the levels that would run the Pallas smoother
+    # anyway: the fused-edge V-cycle is the measured 4096^2 winner on
+    # chip (0.1195 s solve vs 0.1529 s unfused, 2026-08-18 battery
+    # follow-up — the earlier scoped-VMEM overflow is fixed by the
+    # width-aware slab tile).  Small levels keep the XLA edges (same
+    # rule/threshold as _pick_smoother: DMA setup dominates below it).
+    return _pick_smoother(nx, ny) == "pallas"
 
 
 def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):

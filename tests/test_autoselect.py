@@ -36,14 +36,26 @@ def test_mg_smoother_auto_matches_measured_winner():
     assert ms["vcycle_matmul_pallas_off"] < ms["vcycle_matmul_cheb_off"]
 
 
-def test_mg_fused_auto_off_until_measured():
-    """fused="auto" must resolve OFF: the fused level-edge V-cycle still
-    fails remote compile at 4096^2 (winners.json mg_vcycle note); the only
-    measured whole-V-cycle win is the unfused matmul+pallas form."""
+def test_mg_fused_auto_follows_measured_winner(monkeypatch):
+    """fused="auto" resolves ON for Pallas-smoother levels on TPU: the
+    fused-edge V-cycle is the measured 4096^2 winner (winners.json
+    mg_vcycle: 0.1195 s vs 0.1529 s unfused); small levels and other
+    backends keep the XLA edges, and explicit on/off pass through."""
+    ms = WINNERS["mg_vcycle"]["measured_s_solve_at_4096"]
+    assert ms["matmul_on_plain"] == min(ms.values())
+    monkeypatch.setattr(multigrid.jax, "default_backend", lambda: "tpu")
     cfg = multigrid.MGConfig(fused="auto")
-    assert not multigrid._use_fused(cfg, 4096, 4096, halo_rows=2)
+    assert multigrid._use_fused(cfg, 4096, 4096, halo_rows=2)
+    assert not multigrid._use_fused(cfg, 256, 256, halo_rows=2)
+    assert not multigrid._use_fused(
+        multigrid.MGConfig(fused="auto", smoother="cheb"),
+        4096, 4096, halo_rows=2)
+    assert not multigrid._use_fused(
+        multigrid.MGConfig(fused="off"), 4096, 4096, halo_rows=2)
     assert multigrid._use_fused(
         multigrid.MGConfig(fused="on"), 4096, 4096, halo_rows=2)
+    monkeypatch.setattr(multigrid.jax, "default_backend", lambda: "cpu")
+    assert not multigrid._use_fused(cfg, 4096, 4096, halo_rows=2)
 
 
 def test_explicit_transfers_still_selectable():

@@ -282,6 +282,6 @@ def test_max_variants_caps_every_family(monkeypatch, tmp_path, capsys):
     # full race, bench_full_20260818T120555.log)
     assert raced["cavity"] == ("matmul_bf16x1,highest,pallas",)
     assert raced["ps23"] == ("matmul,high,pack",)
-    assert raced["mg"] == ("matmul,off,plain",)
+    assert raced["mg"] == ("matmul,on,plain",)
     out = capsys.readouterr().out
     assert '"value": 100.0' in out
