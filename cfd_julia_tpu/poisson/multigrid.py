@@ -61,8 +61,12 @@ def restriction(r):
     443 ms vs 18 ms at 4096^2); boundary rows/cols are direct injection of
     the coincident fine nodes."""
     k = _RESTRICT_KERNEL.astype(r.dtype)[None, None]
+    # precision pinned: the TPU default would run the conv's dots in
+    # bf16 (~4e-3 rel on 1/dx^2-scaled residuals), while every other
+    # transfer form (matmul, reshape, fused Pallas) is fp32-exact
     interior = lax.conv_general_dilated(
-        r[None, None], k, window_strides=(2, 2), padding=((1, 1), (1, 1))
+        r[None, None], k, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        precision=lax.Precision.HIGHEST,
     )[0, 0, 1:-1, 1:-1]
     mid = jnp.concatenate(
         [r[2:-2:2, :1], interior, r[2:-2:2, -1:]], axis=1
@@ -78,6 +82,7 @@ def prolongation(uc):
     return lax.conv_general_dilated(
         uc[None, None], k, window_strides=(1, 1),
         padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        precision=lax.Precision.HIGHEST,  # see restriction
     )[0, 0]
 
 
@@ -260,22 +265,23 @@ def _pick_transfers(name: str, backend: str | None = None):
 
 
 def _build_levels(nx, ny, dx, dy, n_levels):
-    if n_levels <= 0:
-        # BOTH axes must stay even at every coarsening: an anisotropic
-        # grid whose axes have different 2-adic valuations (e.g. 20x16)
-        # would otherwise produce an odd intermediate level and crash
-        # the prolongation on a shape mismatch
-        n_levels = 1
-        mx, my = nx, ny
-        while mx % 2 == 0 and my % 2 == 0 and mx > 2 and my > 2:
-            mx //= 2
-            my //= 2
-            n_levels += 1
-    levels = []
-    for l in range(n_levels):
-        levels.append((nx >> l, ny >> l, dx * (1 << l), dy * (1 << l)))
-        assert (nx >> l) >= 2 and (ny >> l) >= 2, "too many MG levels"
-    return levels
+    # BOTH axes must stay even at every coarsening: an anisotropic
+    # grid whose axes have different 2-adic valuations (e.g. 20x16)
+    # would otherwise produce an odd intermediate level and crash
+    # the prolongation on a shape mismatch
+    max_levels = 1
+    mx, my = nx, ny
+    while mx % 2 == 0 and my % 2 == 0 and mx > 2 and my > 2:
+        mx //= 2
+        my //= 2
+        max_levels += 1
+    # <=0 -> auto (coarsen to 2x2 cells); an explicit request deeper
+    # than the grid allows is clamped, not rejected — a preset's pinned
+    # depth (e.g. poisson_mgN's 9 for 512^2) must compose with
+    # `run --nx`/`--sweep` overrides on smaller grids
+    n_levels = max_levels if n_levels <= 0 else min(n_levels, max_levels)
+    return [(nx >> l, ny >> l, dx * (1 << l), dy * (1 << l))
+            for l in range(n_levels)]
 
 
 def _use_fused(cfg: MGConfig, nx: int, ny: int, halo_rows: int) -> bool:

@@ -177,6 +177,20 @@ def test_mg_anisotropic_2adic_levels():
         assert float(res.rms / res.rms0) <= 1e-6, (nx, ny)
 
 
+def test_mg_requested_levels_clamped():
+    """An explicit n_levels deeper than the grid allows is clamped to
+    the feasible depth, not rejected — the poisson_mgN preset pins 9
+    levels for 512^2 and must still compose with `run --nx 128` /
+    `--sweep nx=...` overrides (verify repro)."""
+    from cfd_julia_tpu.poisson import multigrid
+
+    levels = multigrid._build_levels(128, 128, 1 / 128, 1 / 128, 9)
+    assert levels == multigrid._build_levels(128, 128, 1 / 128, 1 / 128, 0)
+    assert levels[-1][0] == 2
+    # and a feasible explicit request is honored exactly
+    assert len(multigrid._build_levels(128, 128, 1 / 128, 1 / 128, 3)) == 3
+
+
 def test_fmg_honors_transfer_choice():
     """FMG's upleg uses the cfg-selected prolongation (was hardcoded to
     the conv form, silently ignoring transfers='matmul')."""

@@ -38,10 +38,15 @@ def _on_cpu(fn, *args):
 
 
 def test_cavity_step_matches_cpu(tpu):
-    """One cavity step (Arakawa + DST-I Poisson): TPU vs CPU backend."""
+    """One cavity step (Arakawa + DST-I Poisson): TPU vs CPU backend.
+    Impls pinned explicitly — this is a same-program cross-backend
+    parity check, so the backend-dependent "auto" resolution (which
+    would hand the CPU run a Mosaic kernel) must not apply; the TPU
+    auto winners' accuracy is covered by
+    test_cavity_new_poisson_variants and the bench physics anchors."""
     from cfd_julia_tpu.models import cavity
 
-    cfg = cavity.CavityConfig(nx=64, ny=64)
+    cfg = cavity.CavityConfig(nx=64, ny=64, poisson="fst", rhs_impl="xla")
     step = cavity.make_step_fn(cfg)
     w0 = jnp.zeros((65, 65), jnp.float32)
     state = (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32))
@@ -98,7 +103,10 @@ def test_multigrid_fp32(tpu):
     _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
     u0 = poisson2d._dirichlet_init(ue)
     res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
-    assert float(res.rms) < 1e-4
+    # res.rms is the RAW residual rms (the round-4 residual-report
+    # contract); the convergence claim is relative — CPU gives the same
+    # 8.4e-7 ratio / 4 cycles for this problem (rms0 ~ 4255)
+    assert float(res.rms / res.rms0) <= mgc.tol
     assert np.isfinite(np.asarray(res.u)).all()
 
 
@@ -186,16 +194,21 @@ def test_fused_mg_edges_compiled(tpu):
     ref_u = multigrid.smooth(u, f, dx, dx, 2, masks, impl="xla")
     ref_fc = multigrid.restriction(
         iterative.residual_full(f, ref_u, dx, dx, mask))
-    np.testing.assert_allclose(np.asarray(su), np.asarray(ref_u),
-                               rtol=0, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(fc), np.asarray(ref_fc),
-                               rtol=0, atol=2e-4)
+    # residual-scale values are O(1/dx^2): compare in ulps of the field
+    # scale, not absolutely (fp32 accumulation order differs between the
+    # slab kernel and the XLA composition)
+    def close(a, b, rel=1e-6):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=0,
+                                   atol=rel * max(np.abs(b).max(), 1.0))
+
+    close(su, ref_u)
+    close(fc, ref_fc)
 
     out = pallas_kernels.prolong_correct_smooth_fused(u, f, uc, dx, dx, 2)
     ref = multigrid.smooth(u + multigrid.prolongation(uc) * mask, f,
                            dx, dx, 2, masks, impl="xla")
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=0, atol=2e-4)
+    close(out, ref)
 
 
 def test_mxu_fft_variants(tpu):
@@ -206,20 +219,25 @@ def test_mxu_fft_variants(tpu):
     rng = np.random.default_rng(8)
     h = jnp.asarray(rng.standard_normal((2, 256, 256)), jnp.float32)
     xr = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
-    for prec in ("highest", "high"):
+    # measured tier errors on chip (variant_err/microbench 2026-08-18):
+    # highest (6-pass bf16) 5.5e-7 rel, high (3-pass) 3.4e-5 rel — the
+    # bounds are RELATIVE to the spectrum scale (fwd values are O(N))
+    for prec, rel in (("highest", 3e-6), ("high", 2e-4)):
         @jax.jit
         def err(hh, p=prec):
             z = spectral.unpack_c(hh)
-            a = jnp.abs(mxu_fft.fft2_matmul(z, p) - jnp.fft.fft2(z)).max()
+            fwd = jnp.fft.fft2(z)
+            a = jnp.abs(mxu_fft.fft2_matmul(z, p) - fwd).max()
             b = jnp.abs(mxu_fft.ifft2_matmul(z, p) - jnp.fft.ifft2(z)).max()
-            c = jnp.abs(mxu_fft.rfft2_matmul(xr, p)
-                        - jnp.fft.rfft2(xr)).max()
-            return a, b, c
+            rr = jnp.fft.rfft2(xr)
+            c = jnp.abs(mxu_fft.rfft2_matmul(xr, p) - rr).max()
+            return (a / jnp.abs(fwd).max(), b,
+                    c / jnp.abs(rr).max())
 
         a, b, c = err(h)
-        assert float(a) < 2e-2, (prec, float(a))   # fwd values ~O(256)
-        assert float(b) < 1e-5, (prec, float(b))
-        assert float(c) < 2e-2, (prec, float(c))
+        assert float(a) < rel, (prec, float(a))
+        assert float(b) < 1e-5, (prec, float(b))   # inverse is O(1)
+        assert float(c) < rel, (prec, float(c))
 
 
 def test_ps23_variant_steps_match_on_tpu(tpu):
