@@ -229,6 +229,15 @@ MG_VARIANTS = (
     ("matmul", "off", "plain"), ("matmul", "off", "fmg"),
     ("matmul", "off", "plain", "cheb"),
     ("conv", "off", "plain"),
+    # NOT raced: ("matmul", "on", "plain", "auto", "bf16") — the bf16-
+    # iterative-refinement cycle (MGConfig.cycle_dtype) converges
+    # normally through 1024^2 but STALLS at the 4096^2 north star
+    # (measured on chip 2026-08-18: rel 1.59e-3 after 20 cycles vs the
+    # 1e-5 target): bf16 storage rounding of the fine-level correction
+    # is high-frequency noise amplified ~1/h^2 by the operator, so the
+    # per-cycle noise floor crosses the contraction rate as the grid
+    # grows (docs/PERF.md round-4 section).  Re-add only behind a
+    # fine-level-fp32 design that beats plain fp32 on chip.
 )
 
 
@@ -313,9 +322,10 @@ def worker_mg(variant: str, nx: int, tol: float, window: int = 4):
     parts = variant.split(",")
     transfers, fused, fmg = parts[:3]
     smoother = parts[3] if len(parts) > 3 else "auto"
+    cycle_dtype = parts[4] if len(parts) > 4 else "fp32"
     mgc = multigrid.MGConfig(tol=tol, max_cycles=20, transfers=transfers,
                              fused=fused, fmg=(fmg == "fmg"),
-                             smoother=smoother)
+                             smoother=smoother, cycle_dtype=cycle_dtype)
     cfg = poisson2d.PoissonConfig(nx=nx, ny=nx, solver="multigrid",
                                   problem="poly", mg=mgc)
     _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)

@@ -34,6 +34,15 @@ def _on_tpu() -> bool:
 GUARD = 8  # sublane-aligned halo rows (Mosaic: HBM slices align to 8 rows)
 
 
+def _c32(x):
+    """bf16 slabs compute in fp32 inside VMEM: TPU vector ops run at
+    fp32 rate anyway, so a bf16 MG cycle pays ONLY bf16's HBM bytes
+    (the whole point) while the stencil/band arithmetic keeps fp32
+    mantissas — the output cast back to bf16 is then the only rounding
+    per kernel pass, i.e. exactly the storage precision."""
+    return x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+
+
 def _rb_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
                tile, n_rows, n_cols, dx2i, dy2i, sweeps):
     t = pl.program_id(0)
@@ -49,8 +58,8 @@ def _rb_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
     cu.wait()
     cf.wait()
 
-    u = us[:, :]                        # (slab, W)
-    f = fs[:, :]
+    u = _c32(us[:, :])                  # (slab, W)
+    f = _c32(fs[:, :])
     interior, parity = _interior_parity(u.shape, row0 - GUARD,
                                         n_rows, n_cols)
     # each half-update shrinks the in-slab validity ring by one row, so
@@ -58,7 +67,7 @@ def _rb_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
     # the tile rows GUARD..GUARD+tile-1 stay exact throughout — identical
     # math to `sweeps` single-sweep launches, at 1/sweeps the HBM traffic
     u = _rb_sweeps_slab(u, f, interior, parity, dx2i, dy2i, sweeps)
-    out_ref[:, :] = u[GUARD : GUARD + tile, :]
+    out_ref[:, :] = u[GUARD : GUARD + tile, :].astype(out_ref.dtype)
 
 
 def redblack_sweeps_fused(u, f, dx: float, dy: float, iters: int = 1,
@@ -215,7 +224,7 @@ def _restrict_slab_to(out_ref, r, tc, wc):
         win = jax.lax.slice(tp, (0, 256 * k), (tc, 256 * k + 512))
         out_ref[:, 128 * k : 128 * (k + 1)] = jax.lax.dot(
             win, b, precision=_MM_PRECISION,
-            preferred_element_type=r.dtype)
+            preferred_element_type=r.dtype).astype(out_ref.dtype)
 
 
 def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
@@ -230,8 +239,8 @@ def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
     cu.wait()
     cf.wait()
 
-    u = us[:, :]                         # (slab, W)
-    f = fs[:, :]
+    u = _c32(us[:, :])                   # (slab, W)
+    f = _c32(fs[:, :])
     interior, _ = _interior_parity(u.shape, p0 - GUARD, n_rows, n_cols)
     r = jnp.where(interior, f - _lap_slab(u, dx2i, dy2i), 0.0)
     _restrict_slab_to(out_ref, r, tc, wc)
@@ -254,12 +263,12 @@ def _smooth_res_restrict_kernel(u_hbm, f_hbm, u_out, fc_out, us, fs,
     cu.wait()
     cf.wait()
 
-    u = us[:, :]
-    f = fs[:, :]
+    u = _c32(us[:, :])
+    f = _c32(fs[:, :])
     interior, parity = _interior_parity(u.shape, p0 - GUARD,
                                         n_rows, n_cols)
     u = _rb_sweeps_slab(u, f, interior, parity, dx2i, dy2i, sweeps)
-    u_out[:, :] = u[GUARD : GUARD + 2 * tc, :]
+    u_out[:, :] = u[GUARD : GUARD + 2 * tc, :].astype(u_out.dtype)
 
     r = jnp.where(interior, f - _lap_slab(u, dx2i, dy2i), 0.0)
     _restrict_slab_to(fc_out, r, tc, wc)
@@ -408,9 +417,9 @@ def _prolong_smooth_kernel(u_hbm, f_hbm, uc_hbm, out_ref, us, fs, ucs,
     cf.wait()
     cc.wait()
 
-    u = us[:, :]                         # (slab, W)
-    f = fs[:, :]
-    uc = ucs[:, :]                       # (slab_c, WC);  WC = W/2 + 256
+    u = _c32(us[:, :])                   # (slab, W)
+    f = _c32(fs[:, :])
+    uc = _c32(ucs[:, :])                 # (slab_c, WC);  WC = W/2 + 256
     W = u.shape[1]
 
     # row interpolate: fine slab row k (global g = p0 + k - GUARD) reads
@@ -437,7 +446,7 @@ def _prolong_smooth_kernel(u_hbm, f_hbm, uc_hbm, out_ref, us, fs, ucs,
                                         n_rows, n_cols)
     u = u + jnp.where(interior, corr, 0.0)
     u = _rb_sweeps_slab(u, f, interior, parity, dx2i, dy2i, sweeps)
-    out_ref[:, :] = u[GUARD : GUARD + tile, :]
+    out_ref[:, :] = u[GUARD : GUARD + tile, :].astype(out_ref.dtype)
 
 
 def prolong_correct_smooth_fused(u, f, uc, dx: float, dy: float,

@@ -237,6 +237,20 @@ class MGConfig:
                                # up — the first fine V-cycle then starts
                                # at ~discretization accuracy (beyond the
                                # reference, which always starts from 0)
+    cycle_dtype: str = "fp32"  # fp32 | bf16: bf16 runs every V-cycle in
+                               # bfloat16 inside an fp32 iterative-
+                               # refinement outer loop (A e = r solved in
+                               # bf16 from e=0, u += e; residual, rms
+                               # check and the returned u stay fp32).
+                               # GRID-SIZE LIMIT (measured, docs/PERF.md
+                               # round 4): bf16 storage rounding of the
+                               # fine-level correction is high-frequency
+                               # noise that the operator amplifies ~1/h^2,
+                               # so convergence degrades with grid size —
+                               # 128^2..1024^2 reach 1e-5 rel in +0..3
+                               # cycles vs fp32 (tested), but 4096^2
+                               # stalled at 1.6e-3 on chip.  Opt-in only;
+                               # excluded from the bench race.
 
 
 _TRANSFERS = {
@@ -405,6 +419,9 @@ def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeR
     """V-cycle iteration until rms/rms0 <= tol (mg_N.jl:53-106), residual
     history recorded once per cycle on-device.  cfg.fmg starts from a
     full-multigrid (nested iteration) initial guess instead of u0."""
+    if cfg.cycle_dtype not in ("fp32", "bf16"):
+        raise ValueError(f"unknown cycle_dtype {cfg.cycle_dtype!r} "
+                         "(fp32 | bf16)")
     nx, ny = f.shape[0] - 1, f.shape[1] - 1
     levels = _build_levels(nx, ny, dx, dy, cfg.n_levels)
     masks = [color_masks(l[0], l[1], f.dtype) for l in levels]
@@ -415,6 +432,43 @@ def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeR
     if cfg.fmg:
         u0 = fmg_start(f, u0, levels, masks, imasks, cfg)
     hist0 = jnp.full((cfg.max_cycles + 1, 3), jnp.nan, f.dtype)
+
+    ir = cfg.cycle_dtype == "bf16"
+    if ir:
+        # iterative refinement: each cycle solves the correction
+        # equation A e = r from e = 0 with the whole pyramid in bf16;
+        # u, the residual, and the rms check stay fp32.  The loop
+        # carries r in bf16 — it is exactly the next cycle's RHS, and
+        # the fp32 residual values only ever feed the (scale-free) rms
+        # reduction and this cast, so XLA fuses the residual + rms +
+        # cast into one pass with a half-size store
+        cdt = jnp.bfloat16
+        cmasks = [color_masks(l[0], l[1], cdt) for l in levels]
+        cimasks = [interior_mask(l[0], l[1], cdt) for l in levels]
+        # with fmg this is the post-start residual (the first cycle's RHS)
+        rb0 = residual_full(f, u0, dx, dy, mask0).astype(cdt)
+
+        def cond(c):
+            u, it, rms, rb, hist, nrec = c
+            return (it < cfg.max_cycles) & (rms / rms0 > cfg.tol)
+
+        def body(c):
+            u, it, rms, rb, hist, nrec = c
+            e = v_cycle(jnp.zeros(rb.shape, cdt), rb,
+                        levels, cmasks, cimasks, cfg)
+            u = u + e.astype(u.dtype)
+            it = it + 1
+            r = residual_full(f, u, dx, dy, mask0)
+            rms = _rms_from_full(r, nx, ny)
+            rec = jnp.stack([it.astype(f.dtype), rms, rms / rms0])
+            hist = lax.dynamic_update_slice(hist, rec[None], (nrec, 0))
+            return (u, it, rms, r.astype(cdt), hist, nrec + 1)
+
+        u, it, rms, _, hist, nrec = lax.while_loop(
+            cond, body, (u0, jnp.array(0), rms0, rb0, hist0, jnp.array(0))
+        )
+        return IterativeResult(u=u, iterations=it, rms=rms, rms0=rms0,
+                               history=hist, n_records=nrec)
 
     def cond(c):
         u, it, rms, hist, nrec = c

@@ -137,3 +137,54 @@ def test_smooth_residual_restrict_fused_matches(shape, tile, sweeps):
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(out_fc), np.asarray(ref_fc),
                                rtol=1e-12, atol=1e-11)
+
+
+@pytest.mark.parametrize("kernel", ["rb", "descend", "ascend"])
+def test_fused_kernels_bf16_io(kernel):
+    """bf16 inputs: kernels DMA bf16 slabs (half the HBM bytes — the
+    bf16-IR MG cycle's whole point), compute fp32 in VMEM via _c32, and
+    round only at the output store.  Contract: output dtype bf16, values
+    within one bf16 ulp (~8e-3 rel of the field scale) of the fp32 path
+    run on the same (bf16-exact) inputs."""
+    from cfd_julia_tpu.poisson import multigrid
+
+    rng = np.random.default_rng(6)
+    nr = nc = 65
+    dx = dy = 1.0 / 64
+    # bf16-exact inputs so the reference path sees identical values
+    u32 = jnp.asarray(rng.standard_normal((nr, nc)),
+                      jnp.float32).astype(jnp.bfloat16).astype(jnp.float32)
+    f32 = jnp.asarray(rng.standard_normal((nr, nc)),
+                      jnp.float32).astype(jnp.bfloat16).astype(jnp.float32)
+    u16, f16 = u32.astype(jnp.bfloat16), f32.astype(jnp.bfloat16)
+
+    def close(out, ref, rel=8e-3):
+        assert out.dtype == jnp.bfloat16
+        a, b = np.asarray(out, np.float32), np.asarray(ref, np.float32)
+        np.testing.assert_allclose(a, b, rtol=0,
+                                   atol=rel * max(np.abs(b).max(), 1.0))
+
+    if kernel == "rb":
+        ref = pallas_kernels.redblack_sweeps_fused(u32, f32, dx, dy, 2,
+                                                   tile=8, interpret=True)
+        out = pallas_kernels.redblack_sweeps_fused(u16, f16, dx, dy, 2,
+                                                   tile=8, interpret=True)
+        close(out, ref)
+    elif kernel == "descend":
+        ref_u, ref_fc = pallas_kernels.smooth_residual_restrict_fused(
+            u32, f32, dx, dy, 2, tile=8, interpret=True)
+        out_u, out_fc = pallas_kernels.smooth_residual_restrict_fused(
+            u16, f16, dx, dy, 2, tile=8, interpret=True)
+        close(out_u, ref_u)
+        # residual values are 1/dx^2-scaled: compare in the fc scale
+        close(out_fc, ref_fc)
+    else:
+        uc32 = jnp.asarray(rng.standard_normal((33, 33)),
+                           jnp.float32).astype(jnp.bfloat16
+                                               ).astype(jnp.float32)
+        ref = pallas_kernels.prolong_correct_smooth_fused(
+            u32, f32, uc32, dx, dy, 2, tile=16, interpret=True)
+        out = pallas_kernels.prolong_correct_smooth_fused(
+            u16, f16, uc32.astype(jnp.bfloat16), dx, dy, 2, tile=16,
+            interpret=True)
+        close(out, ref)

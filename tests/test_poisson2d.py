@@ -191,6 +191,39 @@ def test_mg_requested_levels_clamped():
     assert len(multigrid._build_levels(128, 128, 1 / 128, 1 / 128, 3)) == 3
 
 
+def test_mg_bf16_iterative_refinement():
+    """cycle_dtype='bf16' runs the V-cycle pyramid in bfloat16 under an
+    fp32 iterative-refinement outer loop.  Convergence contract: same
+    order of cycle count as fp32 to the bench tolerance (1e-5 rel), and
+    the returned u matches the exact solution at the same discretization
+    error — the bf16 mantissa only rounds contraction steps, the fp32
+    residual keeps the outer loop honest."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    errs, cycles = {}, {}
+    for cd in ("fp32", "bf16"):
+        mgc = multigrid.MGConfig(tol=1e-5, max_cycles=30, cycle_dtype=cd)
+        cfg = poisson2d.PoissonConfig(nx=128, ny=128, solver="multigrid",
+                                      problem="poly", mg=mgc)
+        _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
+        u0 = poisson2d._dirichlet_init(ue)
+        res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
+        assert float(res.rms / res.rms0) <= 1e-5, cd
+        errs[cd] = float(jnp.abs(res.u - ue).max())
+        cycles[cd] = int(res.iterations)
+    # bf16 IR may take at most a couple extra cycles, never 2x
+    assert cycles["bf16"] <= cycles["fp32"] + 2, cycles
+    # and the solution is as accurate as fp32's (both at discretization
+    # error; 1.5x headroom for the different rounding paths)
+    assert errs["bf16"] <= 1.5 * errs["fp32"] + 1e-6, errs
+
+    with pytest.raises(ValueError, match="cycle_dtype"):
+        bad = multigrid.MGConfig(cycle_dtype="fp16")
+        multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=bad)
+
+
 def test_fmg_honors_transfer_choice():
     """FMG's upleg uses the cfg-selected prolongation (was hardcoded to
     the conv form, silently ignoring transfers='matmul')."""

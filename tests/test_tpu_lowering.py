@@ -104,8 +104,10 @@ mf = jnp.zeros((mn + 1, mn + 1), jnp.float32)
 for v in dict.fromkeys(bench.MG_VARIANTS):
     transfers, fused, fmg = v[:3]
     smoother = v[3] if len(v) > 3 else "auto"
+    cycle_dtype = v[4] if len(v) > 4 else "fp32"
     mcfg = multigrid.MGConfig(transfers=transfers, fused=fused,
                               fmg=(fmg == "fmg"), smoother=smoother,
+                              cycle_dtype=cycle_dtype,
                               tol=1e-5, max_cycles=20)
     mmb = len(lower(lambda ff, uu: multigrid.solve(
         ff, uu, 1.0 / mn, 1.0 / mn, cfg=mcfg).u, mf, jnp.zeros_like(mf))
