@@ -43,23 +43,82 @@ def _c32(x):
     return x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
 
 
+# Input slabs are DOUBLE-BUFFERED across grid steps: TPU grid
+# iterations run sequentially on the core and scratch persists between
+# them, so step t waits on the copy that step t-1 started and
+# prefetches step t+1's slab before computing.  Measured on chip
+# (2026-08-18, 4096^2): kernel probe showed a ~3 ms per-kernel floor
+# independent of sweep count (DMA-bound regime); the fused V-cycle
+# solve-to-tol improved 0.1230 -> 0.1186 s with prefetch ON (clean
+# A/B, same in-kernel rms check in both arms).  CFD_PALLAS_DB=0 is the
+# kill switch; _n_buffers() falls back to single-buffering when the
+# doubled slabs would crowd the ~16 MB scoped-VMEM budget (the out
+# blocks and fp32 compute copies need the rest).
+import os as _os
+
+_DB_ON = _os.environ.get("CFD_PALLAS_DB", "1") != "0"
+_SEQ = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+
+
+def _n_buffers(slab_bytes: int) -> int:
+    """2 (prefetch) unless doubling the input slab set would exceed
+    ~11 MB of the scoped-VMEM budget; 1 otherwise."""
+    return 2 if _DB_ON and 2 * slab_bytes <= (11 << 20) else 1
+
+
+def _slab_copies(pairs, slot, tt):
+    """One make_async_copy per (hbm, scratch(2,...), sem(2,), step, slab)
+    tuple, loading rows [tt*step, tt*step+slab) into buffer `slot`."""
+    return [
+        pltpu.make_async_copy(hbm.at[pl.ds(tt * step, slab), :],
+                              scr.at[slot], sem.at[slot])
+        for hbm, scr, sem, step, slab in pairs
+    ]
+
+
+def _db_wait(pairs, t, nb=2):
+    """Slab load for grid step t; returns the scratch slot holding it.
+    nb=2: warm up at t=0, prefetch t+1, wait for t's buffer (the
+    measured winner — see the module note).  nb=1: plain start+wait
+    (VMEM-pressure fallback picked by _n_buffers)."""
+    if nb == 1:
+        for c in _slab_copies(pairs, 0, t):
+            c.start()
+        for c in _slab_copies(pairs, 0, t):
+            c.wait()
+        return 0
+
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        for c in _slab_copies(pairs, 0, 0):
+            c.start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        for c in _slab_copies(pairs, (t + 1) % 2, t + 1):
+            c.start()
+
+    slot = t % 2
+    for c in _slab_copies(pairs, slot, t):
+        c.wait()
+    return slot
+
+
 def _rb_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
-               tile, n_rows, n_cols, dx2i, dy2i, sweeps):
+               tile, n_rows, n_cols, dx2i, dy2i, sweeps, nb):
     t = pl.program_id(0)
     row0 = t * tile  # global index of this tile's first row
     slab = tile + 2 * GUARD
 
     # slab rows k hold global rows row0 - GUARD + k (both u and f padded
-    # identically by the wrapper)
-    cu = pltpu.make_async_copy(u_hbm.at[pl.ds(row0, slab), :], us, sem_u)
-    cf = pltpu.make_async_copy(f_hbm.at[pl.ds(row0, slab), :], fs, sem_f)
-    cu.start()
-    cf.start()
-    cu.wait()
-    cf.wait()
+    # identically by the wrapper); double-buffered across grid steps
+    pairs = [(u_hbm, us, sem_u, tile, slab), (f_hbm, fs, sem_f, tile, slab)]
+    slot = _db_wait(pairs, t, nb)
 
-    u = _c32(us[:, :])                  # (slab, W)
-    f = _c32(fs[:, :])
+    u = _c32(us[slot])                  # (slab, W)
+    f = _c32(fs[slot])
     interior, parity = _interior_parity(u.shape, row0 - GUARD,
                                         n_rows, n_cols)
     # each half-update shrinks the in-slab validity ring by one row, so
@@ -102,10 +161,12 @@ def redblack_sweeps_fused(u, f, dx: float, dy: float, iters: int = 1,
         calls.append(k)
         left -= k
 
+    nb = _n_buffers(2 * slab * W * u.dtype.itemsize)
+
     def make_call(sweeps):
         kernel = functools.partial(
             _rb_kernel, tile=tile, n_rows=n_rows, n_cols=n_cols,
-            dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps,
+            dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps, nb=nb,
         )
         return pl.pallas_call(
             kernel,
@@ -118,11 +179,12 @@ def redblack_sweeps_fused(u, f, dx: float, dy: float, iters: int = 1,
             out_specs=pl.BlockSpec((tile, W), lambda t: (t, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((slab, W), u.dtype),
-                pltpu.VMEM((slab, W), f.dtype),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((nb, slab, W), u.dtype),
+                pltpu.VMEM((nb, slab, W), f.dtype),
+                pltpu.SemaphoreType.DMA((nb,)),
+                pltpu.SemaphoreType.DMA((nb,)),
             ],
+            compiler_params=_SEQ,
             interpret=interpret,
         )
 
@@ -228,19 +290,16 @@ def _restrict_slab_to(out_ref, r, tc, wc):
 
 
 def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
-                         tc, n_rows, n_cols, dx2i, dy2i, wc):
+                         tc, n_rows, n_cols, dx2i, dy2i, wc, nb):
     t = pl.program_id(0)
     slab = 2 * tc + 2 * GUARD
     p0 = 2 * t * tc                      # padded fine row of slab start
-    cu = pltpu.make_async_copy(u_hbm.at[pl.ds(p0, slab), :], us, sem_u)
-    cf = pltpu.make_async_copy(f_hbm.at[pl.ds(p0, slab), :], fs, sem_f)
-    cu.start()
-    cf.start()
-    cu.wait()
-    cf.wait()
+    pairs = [(u_hbm, us, sem_u, 2 * tc, slab),
+             (f_hbm, fs, sem_f, 2 * tc, slab)]
+    slot = _db_wait(pairs, t, nb)
 
-    u = _c32(us[:, :])                   # (slab, W)
-    f = _c32(fs[:, :])
+    u = _c32(us[slot])                   # (slab, W)
+    f = _c32(fs[slot])
     interior, _ = _interior_parity(u.shape, p0 - GUARD, n_rows, n_cols)
     r = jnp.where(interior, f - _lap_slab(u, dx2i, dy2i), 0.0)
     _restrict_slab_to(out_ref, r, tc, wc)
@@ -248,7 +307,7 @@ def _res_restrict_kernel(u_hbm, f_hbm, out_ref, us, fs, sem_u, sem_f, *,
 
 def _smooth_res_restrict_kernel(u_hbm, f_hbm, u_out, fc_out, us, fs,
                                 sem_u, sem_f, *, tc, n_rows, n_cols,
-                                dx2i, dy2i, sweeps, wc):
+                                dx2i, dy2i, sweeps, wc, nb):
     """`sweeps` red-black sweeps, then residual + full-weighting restrict
     — the complete V-cycle descend edge for one level, dual outputs.
     Halo budget: 2*sweeps (smoothing) + 1 (residual) + 1 (restrict row
@@ -256,15 +315,12 @@ def _smooth_res_restrict_kernel(u_hbm, f_hbm, u_out, fc_out, us, fs,
     t = pl.program_id(0)
     slab = 2 * tc + 2 * GUARD
     p0 = 2 * t * tc
-    cu = pltpu.make_async_copy(u_hbm.at[pl.ds(p0, slab), :], us, sem_u)
-    cf = pltpu.make_async_copy(f_hbm.at[pl.ds(p0, slab), :], fs, sem_f)
-    cu.start()
-    cf.start()
-    cu.wait()
-    cf.wait()
+    pairs = [(u_hbm, us, sem_u, 2 * tc, slab),
+             (f_hbm, fs, sem_f, 2 * tc, slab)]
+    slot = _db_wait(pairs, t, nb)
 
-    u = _c32(us[:, :])
-    f = _c32(fs[:, :])
+    u = _c32(us[slot])
+    f = _c32(fs[slot])
     interior, parity = _interior_parity(u.shape, p0 - GUARD,
                                         n_rows, n_cols)
     u = _rb_sweeps_slab(u, f, interior, parity, dx2i, dy2i, sweeps)
@@ -306,9 +362,10 @@ def smooth_residual_restrict_fused(u, f, dx: float, dy: float,
     up = jnp.pad(u, pad)
     fp = jnp.pad(f, pad)
 
+    nb = _n_buffers(2 * (2 * tc + 2 * GUARD) * W * u.dtype.itemsize)
     kernel = functools.partial(
         _smooth_res_restrict_kernel, tc=tc, n_rows=n_rows, n_cols=n_cols,
-        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps, wc=wc,
+        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps, wc=wc, nb=nb,
     )
     us_out, fc = pl.pallas_call(
         kernel,
@@ -324,11 +381,12 @@ def smooth_residual_restrict_fused(u, f, dx: float, dy: float,
                    pl.BlockSpec((tc, wc), lambda t: (t, 0),
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2 * tc + 2 * GUARD, W), u.dtype),
-            pltpu.VMEM((2 * tc + 2 * GUARD, W), f.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((nb, 2 * tc + 2 * GUARD, W), u.dtype),
+            pltpu.VMEM((nb, 2 * tc + 2 * GUARD, W), f.dtype),
+            pltpu.SemaphoreType.DMA((nb,)),
+            pltpu.SemaphoreType.DMA((nb,)),
         ],
+        compiler_params=_SEQ,
         interpret=interpret,
     )(up, fp)
     fc = fc[:ncr, :ncc]
@@ -368,9 +426,10 @@ def residual_restrict_fused(u, f, dx: float, dy: float,
     up = jnp.pad(u, pad)
     fp = jnp.pad(f, pad)
 
+    nb = _n_buffers(2 * (2 * tc + 2 * GUARD) * W * u.dtype.itemsize)
     kernel = functools.partial(
         _res_restrict_kernel, tc=tc, n_rows=n_rows, n_cols=n_cols,
-        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, wc=wc,
+        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, wc=wc, nb=nb,
     )
     out = pl.pallas_call(
         kernel,
@@ -383,11 +442,12 @@ def residual_restrict_fused(u, f, dx: float, dy: float,
         out_specs=pl.BlockSpec((tc, wc), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * tc + 2 * GUARD, W), u.dtype),
-            pltpu.VMEM((2 * tc + 2 * GUARD, W), f.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((nb, 2 * tc + 2 * GUARD, W), u.dtype),
+            pltpu.VMEM((nb, 2 * tc + 2 * GUARD, W), f.dtype),
+            pltpu.SemaphoreType.DMA((nb,)),
+            pltpu.SemaphoreType.DMA((nb,)),
         ],
+        compiler_params=_SEQ,
         interpret=interpret,
     )(up, fp)
     out = out[:ncr, :ncc]
@@ -399,27 +459,27 @@ def residual_restrict_fused(u, f, dx: float, dy: float,
     return jnp.where(keep, out, 0.0)
 
 
-def _prolong_smooth_kernel(u_hbm, f_hbm, uc_hbm, out_ref, us, fs, ucs,
-                           sem_u, sem_f, sem_c, *, tile, n_rows, n_cols,
-                           dx2i, dy2i, sweeps):
+def _prolong_smooth_kernel(*refs, tile, n_rows, n_cols,
+                           dx2i, dy2i, sweeps, nb, want_rms=False):
+    if want_rms:
+        (u_hbm, f_hbm, uc_hbm, out_ref, ssq_ref,
+         us, fs, ucs, sem_u, sem_f, sem_c) = refs
+    else:
+        (u_hbm, f_hbm, uc_hbm, out_ref,
+         us, fs, ucs, sem_u, sem_f, sem_c) = refs
+        ssq_ref = None
     t = pl.program_id(0)
     slab = tile + 2 * GUARD
     slab_c = tile // 2 + 2 * GUARD
     p0 = t * tile                        # padded fine row of slab start
-    q0 = t * (tile // 2)                 # padded coarse row of slab start
-    cu = pltpu.make_async_copy(u_hbm.at[pl.ds(p0, slab), :], us, sem_u)
-    cf = pltpu.make_async_copy(f_hbm.at[pl.ds(p0, slab), :], fs, sem_f)
-    cc = pltpu.make_async_copy(uc_hbm.at[pl.ds(q0, slab_c), :], ucs, sem_c)
-    cu.start()
-    cf.start()
-    cc.start()
-    cu.wait()
-    cf.wait()
-    cc.wait()
+    pairs = [(u_hbm, us, sem_u, tile, slab),
+             (f_hbm, fs, sem_f, tile, slab),
+             (uc_hbm, ucs, sem_c, tile // 2, slab_c)]
+    slot = _db_wait(pairs, t, nb)
 
-    u = _c32(us[:, :])                   # (slab, W)
-    f = _c32(fs[:, :])
-    uc = _c32(ucs[:, :])                 # (slab_c, WC);  WC = W/2 + 256
+    u = _c32(us[slot])                   # (slab, W)
+    f = _c32(fs[slot])
+    uc = _c32(ucs[slot])                 # (slab_c, WC);  WC = W/2 + 256
     W = u.shape[1]
 
     # row interpolate: fine slab row k (global g = p0 + k - GUARD) reads
@@ -447,18 +507,39 @@ def _prolong_smooth_kernel(u_hbm, f_hbm, uc_hbm, out_ref, us, fs, ucs,
     u = u + jnp.where(interior, corr, 0.0)
     u = _rb_sweeps_slab(u, f, interior, parity, dx2i, dy2i, sweeps)
     out_ref[:, :] = u[GUARD : GUARD + tile, :].astype(out_ref.dtype)
+    if want_rms:
+        # the post-smooth leaves a 2*sweeps-row validity ring; one more
+        # Laplacian (+1 row) for the convergence residual needs
+        # 2*sweeps + 1 <= GUARD — asserted by the wrapper.  Per-lane
+        # partial sums of r^2 over this program's tile rows; the
+        # while-loop's separate full-array residual pass (~1.2 ms at
+        # 4096^2 on the measured ~110 GB/s effective stream) disappears
+        r = jnp.where(interior, f - _lap_slab(u, dx2i, dy2i), 0.0)
+        rt = r[GUARD : GUARD + tile, :]
+        # (8, W) block — Mosaic requires 8-row-divisible output blocks;
+        # rows 1..7 stay zero and vanish in the host-side sum
+        ssq_ref[:, :] = jnp.pad(
+            jnp.sum(rt * rt, axis=0, keepdims=True), ((0, 7), (0, 0)))
 
 
 def prolong_correct_smooth_fused(u, f, uc, dx: float, dy: float,
                                  sweeps: int, tile: int | None = None,
-                                 interpret: bool | None = None):
+                                 interpret: bool | None = None,
+                                 want_rms: bool = False):
     """The complete V-cycle ascend edge — bilinear prolongation of the
     coarse correction, interior-masked add, then `sweeps` red-black GS
     post-smoothing sweeps — in ONE slab pass (mg_N.jl:94-105).  Matches
     smooth(u + prolongation(uc)*imask, f, sweeps).  2*sweeps <= GUARD
-    (validity ring shrinks one row per half-update)."""
+    (validity ring shrinks one row per half-update).
+
+    want_rms=True additionally returns sum(residual(f, u_out)^2) over
+    the interior — the V-cycle convergence check for free (the slab is
+    already in VMEM; a separate residual pass re-reads 2 full fields)."""
     if interpret is None:
         interpret = not _on_tpu()
+    if want_rms:
+        assert 2 * sweeps + 1 <= GUARD, \
+            "sweeps + residual exceed the halo guard"
     assert 2 * sweeps <= GUARD, "sweeps too large for the halo guard"
     n_rows, n_cols = u.shape
     if tile is None:
@@ -482,53 +563,64 @@ def prolong_correct_smooth_fused(u, f, uc, dx: float, dy: float,
     ucp = jnp.pad(uc, ((GUARD, rows_cp - GUARD - nc_rows),
                        (128, WC - 128 - nc_cols)))
 
+    nb = _n_buffers((2 * (tile + 2 * GUARD) * W
+                     + (tile // 2 + 2 * GUARD) * WC) * u.dtype.itemsize)
     kernel = functools.partial(
         _prolong_smooth_kernel, tile=tile, n_rows=n_rows, n_cols=n_cols,
-        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps,
+        dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps, nb=nb,
+        want_rms=want_rms,
     )
+    out_shape = jax.ShapeDtypeStruct((tile * tn, W), u.dtype)
+    out_spec = pl.BlockSpec((tile, W), lambda t: (t, 0),
+                            memory_space=pltpu.VMEM)
+    if want_rms:
+        # residual partials in >= fp32 (bf16 inputs compute fp32 in-VMEM
+        # and a bf16 ssq would be useless as a tolerance check)
+        sdt = jnp.float64 if u.dtype == jnp.float64 else jnp.float32
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((8 * tn, W), sdt))
+        out_spec = (out_spec, pl.BlockSpec((8, W), lambda t: (t, 0),
+                                           memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((tile * tn, W), u.dtype),
+        out_shape=out_shape,
         grid=(tn,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((tile, W), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * GUARD, W), u.dtype),
-            pltpu.VMEM((tile + 2 * GUARD, W), f.dtype),
-            pltpu.VMEM((tile // 2 + 2 * GUARD, WC), uc.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((nb, tile + 2 * GUARD, W), u.dtype),
+            pltpu.VMEM((nb, tile + 2 * GUARD, W), f.dtype),
+            pltpu.VMEM((nb, tile // 2 + 2 * GUARD, WC), uc.dtype),
+            pltpu.SemaphoreType.DMA((nb,)),
+            pltpu.SemaphoreType.DMA((nb,)),
+            pltpu.SemaphoreType.DMA((nb,)),
         ],
+        compiler_params=_SEQ,
         interpret=interpret,
     )(up, fp, ucp)
+    if want_rms:
+        out, ssq = out
+        return out[:n_rows, :n_cols], jnp.sum(ssq)
     return out[:n_rows, :n_cols]
 
 
 # ------------------------------------------------- fused vorticity RHS
 
 def _arakawa_kernel(w_hbm, s_hbm, out_ref, ws, ss, sem_w, sem_s, *,
-                    tile, dx, dy, re):
+                    tile, dx, dy, re, nb):
     """r = -J(w,s) + lap(w)/re on one row slab (periodic; the wrapper
     supplies wrap-padded rows/cols)."""
     t = pl.program_id(0)
-    row0 = t * tile
     slab = tile + 2 * GUARD
+    pairs = [(w_hbm, ws, sem_w, tile, slab), (s_hbm, ss, sem_s, tile, slab)]
+    slot = _db_wait(pairs, t, nb)
 
-    cw = pltpu.make_async_copy(w_hbm.at[pl.ds(row0, slab), :], ws, sem_w)
-    cs = pltpu.make_async_copy(s_hbm.at[pl.ds(row0, slab), :], ss, sem_s)
-    cw.start()
-    cs.start()
-    cw.wait()
-    cs.wait()
-
-    w = ws[:, :]
-    s = ss[:, :]
+    w = ws[slot]
+    s = ss[slot]
 
     def sh(u, di, dj):
         # vertical: roll within the slab (guard rows make it exact for the
@@ -599,8 +691,9 @@ def arakawa_rhs_fused(w, s, dx: float, dy: float, re: float,
     sp = wrap_ext(s)
     W = wp.shape[1]
 
+    nb = _n_buffers(2 * (tile + 2 * GUARD) * W * w.dtype.itemsize)
     kernel = functools.partial(
-        _arakawa_kernel, tile=tile, dx=dx, dy=dy, re=re,
+        _arakawa_kernel, tile=tile, dx=dx, dy=dy, re=re, nb=nb,
     )
     out = pl.pallas_call(
         kernel,
@@ -613,11 +706,12 @@ def arakawa_rhs_fused(w, s, dx: float, dy: float, re: float,
         out_specs=pl.BlockSpec((tile, W), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile + 2 * GUARD, W), w.dtype),
-            pltpu.VMEM((tile + 2 * GUARD, W), s.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((nb, tile + 2 * GUARD, W), w.dtype),
+            pltpu.VMEM((nb, tile + 2 * GUARD, W), s.dtype),
+            pltpu.SemaphoreType.DMA((nb,)),
+            pltpu.SemaphoreType.DMA((nb,)),
         ],
+        compiler_params=_SEQ,
         interpret=interpret,
     )(wp, sp)
     return out[:n_rows, 1 : n_cols + 1]

@@ -318,15 +318,19 @@ def _use_fused(cfg: MGConfig, nx: int, ny: int, halo_rows: int) -> bool:
     return _pick_smoother(nx, ny) == "pallas"
 
 
-def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
+def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None,
+            want_rms=False):
     """One V-cycle over the static level pyramid (mg_N.jl:53-106).
 
-    With cfg.fused="on", level edges run as single Pallas slab passes
-    (ops.pallas_kernels.residual_restrict_fused /
-    prolong_correct_smooth_fused) — element-equal to the XLA path.
-    The default ("auto") keeps them OFF: the best measured on-chip
-    V-cycle is the unfused matmul-transfer + Pallas-smoother form
-    (see _use_fused); bench.py races fused="on" to revisit this."""
+    With cfg.fused="on"/auto-on, level edges run as single Pallas slab
+    passes (ops.pallas_kernels.residual_restrict_fused /
+    prolong_correct_smooth_fused) — element-equal to the XLA path; the
+    fused V-cycle is the measured 4096^2 winner (see _use_fused).
+
+    want_rms=True returns (u, ssq) where ssq = sum of the squared
+    interior residual of the RETURNED u — computed inside the finest
+    ascend kernel while its slab is still in VMEM (ssq is None when
+    that edge did not run fused, or for a single-level pyramid)."""
     from cfd_julia_tpu.ops import pallas_kernels
 
     n = len(levels)
@@ -367,17 +371,25 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None):
                        masks[n - 1], impls[n - 1])
 
     # ascend: prolongate -> correct -> relax (fused: one slab pass)
+    ssq = None
     for k in range(n - 1, 0, -1):
         nxp, nyp, dxp, dyp = levels[k - 1]
-        if _use_fused(cfg, nxp, nyp, 2 * cfg.v3):
-            us[k - 1] = pallas_kernels.prolong_correct_smooth_fused(
-                us[k - 1], fs[k - 1], us[k], dxp, dyp, cfg.v3)
+        fine_rms = want_rms and k - 1 == 0 and 2 * cfg.v3 + 1 <= \
+            pallas_kernels.GUARD
+        if _use_fused(cfg, nxp, nyp, 2 * cfg.v3 + (1 if fine_rms else 0)):
+            res = pallas_kernels.prolong_correct_smooth_fused(
+                us[k - 1], fs[k - 1], us[k], dxp, dyp, cfg.v3,
+                want_rms=fine_rms)
+            if fine_rms:
+                us[k - 1], ssq = res
+            else:
+                us[k - 1] = res
             continue
         corr = prolong_fn(us[k]) * imasks[k - 1]
         us[k - 1] = us[k - 1] + corr
         us[k - 1] = smooth(us[k - 1], fs[k - 1], dxp, dyp, cfg.v3,
                            masks[k - 1], impls[k - 1])
-    return us[0]
+    return (us[0], ssq) if want_rms else us[0]
 
 
 def fmg_start(f, u0, levels, masks, imasks, cfg: MGConfig):
@@ -470,15 +482,28 @@ def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeR
         return IterativeResult(u=u, iterations=it, rms=rms, rms0=rms0,
                                history=hist, n_records=nrec)
 
+    # when the finest ascend edge runs fused, its kernel emits the
+    # squared-residual sum of the returned u while the slab is still in
+    # VMEM — the separate full-array residual pass per cycle disappears
+    # (static decision: same predicate the edge itself uses, +1 halo row)
+    fused_rms = (len(levels) > 1
+                 and _use_fused(cfg, nx, ny, 2 * cfg.v3 + 1))
+
     def cond(c):
         u, it, rms, hist, nrec = c
         return (it < cfg.max_cycles) & (rms / rms0 > cfg.tol)
 
     def body(c):
         u, it, rms, hist, nrec = c
-        u = v_cycle(u, f, levels, masks, imasks, cfg)
+        if fused_rms:
+            u, ssq = v_cycle(u, f, levels, masks, imasks, cfg,
+                             want_rms=True)
+            rms = jnp.sqrt(ssq / ((nx - 1) * (ny - 1))).astype(f.dtype)
+        else:
+            u = v_cycle(u, f, levels, masks, imasks, cfg)
+            rms = _rms_from_full(residual_full(f, u, dx, dy, mask0),
+                                 nx, ny)
         it = it + 1
-        rms = _rms_from_full(residual_full(f, u, dx, dy, mask0), nx, ny)
         rec = jnp.stack([it.astype(f.dtype), rms, rms / rms0])
         hist = lax.dynamic_update_slice(hist, rec[None], (nrec, 0))
         return (u, it, rms, hist, nrec + 1)

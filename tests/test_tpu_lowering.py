@@ -95,6 +95,13 @@ print("dynamic_window OK")
 # at levels >= 512; the XLA-smoother forms are the ones that exceeded
 # the remote-compile HTTP body limit on chip).  4096^2 forms measured
 # 0.35-1.07 MB.
+# KNOWN LIMIT of this preflight: Mosaic BlockSpec-rule violations can
+# be size-dependent — a (1, W) output block cross-lowered fine here at
+# 1024^2 but was rejected at the bench's 4096^2 (2026-08-18, want_rms
+# ssq block).  Such failures are raised at HOST lowering inside the
+# worker (fast fail, no tunnel time burned), so 1024 stays the right
+# cost/coverage point; just don't read a pass here as a Mosaic-rule
+# guarantee at every size.
 from cfd_julia_tpu.poisson import multigrid
 
 _orig_pick = multigrid._pick_smoother
@@ -112,7 +119,11 @@ for v in dict.fromkeys(bench.MG_VARIANTS):
     mmb = len(lower(lambda ff, uu: multigrid.solve(
         ff, uu, 1.0 / mn, 1.0 / mn, cfg=mcfg).u, mf, jnp.zeros_like(mf))
     ) / 1e6
-    assert mmb < 8.0, f"mg {'_'.join(v)} lowered {mmb:.1f} MB"
+    # budget 12 MB: the fused-fmg form re-instantiates the fused edge
+    # kernels per sub-pyramid level and the double-buffered DMA control
+    # flow lifted it 2.6 -> 10.1 MB (still orders below the ~270 MB
+    # remote-compile body limit; anything O(n^2) would fail regardless)
+    assert mmb < 12.0, f"mg {'_'.join(v)} lowered {mmb:.1f} MB"
     print(f"mg_{'_'.join(v)} OK ({mmb:.2f} MB)")
 multigrid._pick_smoother = _orig_pick
 
