@@ -253,6 +253,44 @@ def test_race_post_success_budget(monkeypatch):
     assert clock["t"] == 800.0  # two spawns, then 800 > 500 stops
 
 
+def test_final_stdout_line_is_complete_battery_json(monkeypatch, tmp_path,
+                                                    capsys):
+    """Driver-artifact contract (VERDICT r4 item 1): the LAST stdout line
+    of a full run must parse as JSON and carry the headline value, the
+    ps23 and mg secondaries, and their vs_baselines — BENCH_r04.json had
+    "parsed": null because stray output followed the early emit."""
+    monkeypatch.setattr(bench, "RESULTS_JSON", str(tmp_path / "last.json"))
+    monkeypatch.setattr(bench, "_probe_devices", lambda *a, **k: "axon")
+
+    def fake_race(worker, variants, nx, steps=0, tol=0.0, budget_s=0.0,
+                  variant_timeout_s=0.0, minimize=False, results=None):
+        if results is not None and worker == "cavity":
+            results.append({"worker": "cavity",
+                            "variant": "matmul_bf16x3,highest,pallas",
+                            "value": 937.5, "unit": "steps/s"})
+        if minimize:
+            return 0.11, variants[0]
+        return (1303.0, "matmul_bf16x1+pallasrhs") if worker == "cavity" \
+            else (179.3, "matmul:high")
+
+    monkeypatch.setattr(bench, "race", fake_race)
+    assert bench.main([]) == 0
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(last)       # the LAST line parses, full stop
+    assert out["final"] is True
+    assert out["metric"] == "cavity_1024_steps_per_sec"
+    assert out["value"] == 1303.0 and out["vs_baseline"] == 130.3
+    assert out["ps23_2048_steps_per_sec"] == 179.3
+    assert out["ps23_vs_baseline"] == round(179.3 / 0.40, 1)
+    assert out["mg_4096_solve_s"] == 0.11
+    assert out["mg_vs_baseline"] == round(3.68 / 0.11, 1)
+    # precision-tier tagging (ADVICE r4): the record's tier is explicit
+    # and the shipped default's own number rides along
+    assert out["precision_tier"].startswith("bf16-1pass")
+    assert out["default_variant_steps_per_sec"] == 937.5
+    assert out["default_variant"] == "matmul_bf16x3+pallasrhs"
+
+
 def test_variant_names():
     assert bench._variant_name("cavity", "fst", "highest", "xla") == "fst"
     assert bench._variant_name(
