@@ -426,14 +426,23 @@ def fmg_start(f, u0, levels, masks, imasks, cfg: MGConfig):
     return u0 + v
 
 
-@partial(jax.jit, static_argnames=("dx", "dy", "cfg"))
-def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeResult:
+@partial(jax.jit, static_argnames=("dx", "dy", "cfg", "mesh"))
+def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig(),
+          mesh=None) -> IterativeResult:
     """V-cycle iteration until rms/rms0 <= tol (mg_N.jl:53-106), residual
     history recorded once per cycle on-device.  cfg.fmg starts from a
-    full-multigrid (nested iteration) initial guess instead of u0."""
+    full-multigrid (nested iteration) initial guess instead of u0.
+
+    With `mesh` (a jax.sharding.Mesh) the solve runs as one GSPMD
+    program over the device mesh — see the multi-chip section below
+    (_mesh_solve): padded domain decomposition on fine levels, coarse
+    levels agglomerated to replicated, Chebyshev smoother + matmul
+    transfers."""
     if cfg.cycle_dtype not in ("fp32", "bf16"):
         raise ValueError(f"unknown cycle_dtype {cfg.cycle_dtype!r} "
                          "(fp32 | bf16)")
+    if mesh is not None:
+        return _mesh_solve(f, u0, dx, dy, cfg, mesh)
     nx, ny = f.shape[0] - 1, f.shape[1] - 1
     levels = _build_levels(nx, ny, dx, dy, cfg.n_levels)
     masks = [color_masks(l[0], l[1], f.dtype) for l in levels]
@@ -513,3 +522,226 @@ def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig()) -> IterativeR
     )
     return IterativeResult(u=u, iterations=it, rms=rms, rms0=rms0,
                            history=hist, n_records=nrec)
+
+
+# --------------------------------------------------- multi-chip V-cycle
+#
+# Distributed multigrid (mg_N.jl:53-106 re-designed for a device mesh).
+# Two constraints shape the design:
+#  * the (n+1)-node grids are RAGGED over any mesh axis, and
+#    with_sharding_constraint silently REPLICATES shardings whose dims
+#    don't divide (measured on jax 0.9: a (65,65) P('x','y') constraint
+#    comes back P()) — so every level is zero-PADDED to mesh-divisible
+#    extents, the same strategy as models.cavity.make_padded_step_fn;
+#  * masks already make the padded algebra exact: stencil rolls never
+#    reach the interior from the padding, smoother updates are
+#    interior-masked, and the transfer matrices are zero-extended
+#    (sine_matrix-style), so padded entries stay exactly zero through
+#    the whole cycle.
+#
+# Per level: shard while every device keeps >= _AGGLOM_TILE rows/lanes,
+# below that REPLICATE (classic coarse-level agglomeration — the coarse
+# problems are tiny; one all_gather per descend past the switch level,
+# re-sharding on the ascend is a local slice).  The smoother is the
+# Chebyshev-Jacobi one (pure unmasked dataflow — partitions into
+# stencil + halo exchanges with no checkerboard mask constants), and
+# transfers are the separable matmul pair (GSPMD partitions dense
+# matmuls natively).  The whole solve — while_loop, convergence check,
+# history — is ONE GSPMD program; no host round-trips, no manual
+# collectives.
+
+import collections
+
+from jax.sharding import NamedSharding, PartitionSpec
+
+_AGGLOM_TILE = 8   # min per-device rows/lanes before a level replicates
+                   # (8 = TPU sublane granularity; below it the shard is
+                   # mostly halo/padding)
+
+_MeshLevel = collections.namedtuple(
+    "_MeshLevel", ("nx", "ny", "dx", "dy", "P", "Q", "spec"))
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _mesh_grid(mesh):
+    names = tuple(mesh.axis_names)
+    shape = tuple(mesh.devices.shape)
+    px = shape[0]
+    py = shape[1] if len(shape) > 1 else 1
+    yn = names[1] if len(names) > 1 else None
+    return px, py, names[0], yn
+
+
+def _mesh_levels(nx, ny, dx, dy, n_levels, mesh):
+    """Padded level pyramid: logical (nxl+1, nyl+1) nodes inside padded
+    (P, Q) extents; sharded axes pad to multiples of 8*pdev so every
+    shard is whole sublanes, replicated axes keep the logical extent."""
+    px, py, xn, yn = _mesh_grid(mesh)
+    out = []
+    for nxl, nyl, dxl, dyl in _build_levels(nx, ny, dx, dy, n_levels):
+        sx = xn if px > 1 and (nxl + 1) >= _AGGLOM_TILE * px else None
+        sy = yn if yn and py > 1 and (nyl + 1) >= _AGGLOM_TILE * py \
+            else None
+        P = _round_up(nxl + 1, 8 * px) if sx else nxl + 1
+        Q = _round_up(nyl + 1, 8 * py) if sy else nyl + 1
+        out.append(_MeshLevel(nxl, nyl, dxl, dyl, P, Q,
+                              PartitionSpec(sx, sy)))
+    return out
+
+
+def _padded_imask(nx, ny, P, Q, dtype):
+    """Interior mask with LOGICAL bounds inside a padded (P, Q) extent
+    (interior_mask with the padding rows/cols forced to zero)."""
+    i = jnp.arange(P)
+    j = jnp.arange(Q)
+    m = ((i > 0) & (i < nx))[:, None] & ((j > 0) & (j < ny))[None, :]
+    return m.astype(dtype)
+
+
+def _restrict_matrix_padded(nf, Pc, Pf, dtype):
+    """_restrict_matrix zero-extended to (Pc, Pf) padded extents."""
+    nc = nf // 2
+    c = jnp.arange(Pc)[:, None]
+    fine = jnp.arange(Pf)[None, :]
+    d = fine - 2 * c
+    w = jnp.where(d == 0, 0.5,
+                  jnp.where(jnp.abs(d) == 1, 0.25, 0.0)).astype(dtype)
+    inject = (fine == 2 * c).astype(dtype)
+    m = jnp.where((c == 0) | (c == nc), inject, w)
+    return jnp.where((c <= nc) & (fine <= nf), m, jnp.zeros((), dtype))
+
+
+def _prolong_matrix_padded(nc, Pf, Pc, dtype):
+    """_prolong_matrix zero-extended to (Pf, Pc) padded extents."""
+    nf = 2 * nc
+    fine = jnp.arange(Pf)[:, None]
+    c = jnp.arange(Pc)[None, :]
+    even = (fine == 2 * c).astype(dtype)
+    odd = ((fine == 2 * c + 1) | (fine == 2 * c - 1)).astype(dtype) * 0.5
+    m = jnp.where(fine % 2 == 0, even, odd)
+    return jnp.where((fine <= nf) & (c <= nc), m, jnp.zeros((), dtype))
+
+
+def _mesh_cfg(cfg: MGConfig) -> MGConfig:
+    """Resolve an MGConfig for mesh execution; reject single-device-only
+    options loudly rather than silently falling back."""
+    transfers = "matmul" if cfg.transfers == "auto" else cfg.transfers
+    if transfers != "matmul":
+        raise ValueError("mesh multigrid uses transfers='matmul' (the "
+                         "conv/reshape forms are single-device; dense "
+                         f"matmuls partition natively), got {transfers!r}")
+    if cfg.smoother not in ("auto", "cheb"):
+        raise ValueError("mesh multigrid uses the Chebyshev smoother "
+                         f"(smoother='cheb'|'auto'), got {cfg.smoother!r}")
+    if cfg.cycle_dtype != "fp32":
+        raise ValueError("mesh multigrid supports cycle_dtype='fp32' only "
+                         "(the bf16-IR pyramid is single-device)")
+    return dataclasses.replace(cfg, transfers=transfers, smoother="cheb",
+                               fused="off")
+
+
+def _mesh_v_cycle(u, f, plv, imasks, cfg, mesh):
+    """One V-cycle over the padded pyramid `plv` (a slice of the full
+    pyramid during FMG).  Element-equal to v_cycle with the Chebyshev
+    smoother and matmul transfers on the unpadded grids."""
+    n = len(plv)
+    mm = lambda a, b: jnp.matmul(a, b, precision="highest")
+    cs = lambda a, L: lax.with_sharding_constraint(
+        a, NamedSharding(mesh, L.spec))
+    dt_ = u.dtype
+
+    fs = [f]
+    us = [u]
+    for k in range(n - 1):
+        L, Ln = plv[k], plv[k + 1]
+        uk = chebyshev_smooth(us[k], fs[k], L.dx, L.dy, cfg.v1, imasks[k])
+        r = residual_full(fs[k], uk, L.dx, L.dy, imasks[k])
+        rx = _restrict_matrix_padded(L.nx, Ln.P, L.P, dt_)
+        ry = _restrict_matrix_padded(L.ny, Ln.Q, L.Q, dt_)
+        us[k] = uk
+        fs.append(cs(mm(mm(rx, r), ry.T), Ln))
+        us.append(jnp.zeros((Ln.P, Ln.Q), dt_))
+    Lc = plv[-1]
+    us[-1] = chebyshev_smooth(us[-1], fs[-1], Lc.dx, Lc.dy,
+                              cfg.v2 if n > 1 else cfg.v1, imasks[-1])
+
+    for k in range(n - 1, 0, -1):
+        L, Lf = plv[k], plv[k - 1]
+        pxm = _prolong_matrix_padded(L.nx, Lf.P, L.P, dt_)
+        pym = _prolong_matrix_padded(L.ny, Lf.Q, L.Q, dt_)
+        corr = mm(mm(pxm, us[k]), pym.T) * imasks[k - 1]
+        uf = cs(us[k - 1] + corr, Lf)
+        us[k - 1] = chebyshev_smooth(uf, fs[k - 1], Lf.dx, Lf.dy,
+                                     cfg.v3, imasks[k - 1])
+    return us[0]
+
+
+def _mesh_fmg_start(fp, up, plv, imasks, cfg, mesh):
+    """fmg_start on the padded pyramid (homogenize, restrict down, one
+    V-cycle per level on the way up)."""
+    n = len(plv)
+    mm = lambda a, b: jnp.matmul(a, b, precision="highest")
+    cs = lambda a, L: lax.with_sharding_constraint(
+        a, NamedSharding(mesh, L.spec))
+    L0 = plv[0]
+    g = residual_full(fp, up, L0.dx, L0.dy, imasks[0])
+    gs = [g]
+    for k in range(1, n):
+        L, Ln = plv[k - 1], plv[k]
+        rx = _restrict_matrix_padded(L.nx, Ln.P, L.P, fp.dtype)
+        ry = _restrict_matrix_padded(L.ny, Ln.Q, L.Q, fp.dtype)
+        gs.append(cs(mm(mm(rx, gs[k - 1]), ry.T), Ln))
+    Lc = plv[-1]
+    v = jnp.zeros((Lc.P, Lc.Q), fp.dtype)
+    v = chebyshev_smooth(v, gs[-1], Lc.dx, Lc.dy, cfg.v2, imasks[-1])
+    for k in range(n - 2, -1, -1):
+        L, Lf = plv[k + 1], plv[k]
+        pxm = _prolong_matrix_padded(L.nx, Lf.P, L.P, fp.dtype)
+        pym = _prolong_matrix_padded(L.ny, Lf.Q, L.Q, fp.dtype)
+        v = cs(mm(mm(pxm, v), pym.T) * imasks[k], Lf)
+        v = _mesh_v_cycle(v, gs[k], plv[k:], imasks[k:], cfg, mesh)
+    return up + v
+
+
+def _mesh_solve(f, u0, dx: float, dy: float, cfg: MGConfig,
+                mesh) -> IterativeResult:
+    """solve() over a device mesh (called from solve under its jit; mesh
+    is a static arg).  Takes/returns UNPADDED (nx+1, ny+1) arrays."""
+    cfg = _mesh_cfg(cfg)
+    nx, ny = f.shape[0] - 1, f.shape[1] - 1
+    plv = _mesh_levels(nx, ny, dx, dy, cfg.n_levels, mesh)
+    imasks = [_padded_imask(L.nx, L.ny, L.P, L.Q, f.dtype) for L in plv]
+    L0 = plv[0]
+    cs0 = lambda a: lax.with_sharding_constraint(
+        a, NamedSharding(mesh, L0.spec))
+    fp = cs0(jnp.pad(f, ((0, L0.P - (nx + 1)), (0, L0.Q - (ny + 1)))))
+    up = cs0(jnp.pad(u0, ((0, L0.P - (nx + 1)), (0, L0.Q - (ny + 1)))))
+
+    rms0 = _rms_from_full(residual_full(fp, up, dx, dy, imasks[0]),
+                          nx, ny)
+    if cfg.fmg:
+        up = _mesh_fmg_start(fp, up, plv, imasks, cfg, mesh)
+    hist0 = jnp.full((cfg.max_cycles + 1, 3), jnp.nan, f.dtype)
+
+    def cond(c):
+        u, it, rms, hist, nrec = c
+        return (it < cfg.max_cycles) & (rms / rms0 > cfg.tol)
+
+    def body(c):
+        u, it, rms, hist, nrec = c
+        u = _mesh_v_cycle(u, fp, plv, imasks, cfg, mesh)
+        rms = _rms_from_full(residual_full(fp, u, dx, dy, imasks[0]),
+                             nx, ny)
+        it = it + 1
+        rec = jnp.stack([it.astype(f.dtype), rms, rms / rms0])
+        hist = lax.dynamic_update_slice(hist, rec[None], (nrec, 0))
+        return (u, it, rms, hist, nrec + 1)
+
+    u, it, rms, hist, nrec = lax.while_loop(
+        cond, body, (up, jnp.array(0), rms0, hist0, jnp.array(0)))
+    return IterativeResult(u=u[: nx + 1, : ny + 1], iterations=it,
+                           rms=rms, rms0=rms0, history=hist,
+                           n_records=nrec)
