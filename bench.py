@@ -49,13 +49,16 @@ import sys
 import time
 
 # measured-anchored Julia estimates: upper bounds of the ranges derived
-# from the direct algorithm measurements (docstring + BASELINE.md r3):
+# from the direct algorithm measurements (docstring + BASELINE.md):
 # cavity 1024^2 measured 5.43 C-proxy steps/s -> Julia 7.3-10.0;
-# ps23 2048^2 measured 0.11 NumPy steps/s (6.87 s/step of complex
-# transforms + 2.18 s elementwise) -> even with the elementwise share
-# granted FREE, Julia <= (6.87/2.5)^-1 = 0.36; divisor 0.40 stays above.
+# ps23 2048^2 measured 0.208 C-proxy steps/s (reference_ps23_c.py,
+# round 5: 4.455 s/step pocketfft complex transforms + 0.344 s compiled
+# C elementwise) -> Julia 0.302-0.47 with the 1.5-2.5x FFTW grant on
+# the transform share only; divisor = 0.47, the most generous end
+# (same policy as cavity).  Supersedes the round-3 "elementwise granted
+# FREE" 0.40 bound, which was not C-anchored.
 JULIA_BASELINE_STEPS_PER_SEC = 10.0
-PS23_BASELINE_STEPS_PER_SEC = 0.40
+PS23_BASELINE_STEPS_PER_SEC = 0.47
 # mg 4096^2 to rms/rms0<=1e-5: the V-cycle is pure compiled stencil
 # loops (no FFT), so the C implementation IS the Julia denominator —
 # measured 3.68 s / 5 cycles (benchmarks/reference_mg_c.py).
@@ -675,7 +678,8 @@ def main(argv=None):
         results=all_results)
     if ps_sps is not None:
         vs_ps = (f" ({ps_sps / PS23_BASELINE_STEPS_PER_SEC:.0f}x the "
-                 "0.40 steps/s Julia bound)" if args.ps_nx == 2048 else "")
+                 f"{PS23_BASELINE_STEPS_PER_SEC:g} steps/s measured "
+                 "C-anchored Julia bound)" if args.ps_nx == 2048 else "")
         print(f"# pseudospectral {args.ps_nx}^2 fp32 best={ps_impl}: "
               f"{ps_sps:.1f} steps/s{vs_ps}", file=sys.stderr)
         summary[f"ps23_{args.ps_nx}_steps_per_sec"] = round(ps_sps, 2)

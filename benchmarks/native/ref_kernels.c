@@ -151,3 +151,65 @@ void prolong_correct(const double *ec, double *u, int np1c) {
        Dirichlet problems carry zero correction there; skip (matches the
        zero-boundary error fields of the V-cycle). */
 }
+
+/* ---------------- ps23 pseudospectral elementwise kernels ----------------
+ * Compiled stand-ins for the ch. 22 loop's non-transform work
+ * (pseudospectral_23_rule.jl:95-144): derivative-spectra assembly,
+ * physical-space Jacobian product, and the RK3/CN stage combine.
+ * Complex arrays are interleaved double pairs (NumPy complex128 layout).
+ */
+
+/* 4 masked derivative spectra from the vorticity spectrum:
+ *   sxf = i kx wf / k2,  wyf = i ky wf,  syf = i ky wf / k2,
+ *   wxf = i kx wf  — all multiplied by the dealias mask.
+ * One pass over wf: 8 doubles written per element. */
+void ps23_derivs(const double *wf, const double *kx0, const double *ky0,
+                 const double *k2, const unsigned char *mask,
+                 int nx, int ny, double *sxf, double *wyf, double *syf,
+                 double *wxf) {
+    for (int i = 0; i < nx; ++i) {
+        const double kx = kx0[i];
+        for (int j = 0; j < ny; ++j) {
+            const size_t k = (size_t)i * ny + j;
+            const double m = mask[k] ? 1.0 : 0.0;
+            const double re = wf[2 * k] * m, im = wf[2 * k + 1] * m;
+            const double ky = ky0[j], ik2 = 1.0 / k2[k];
+            /* multiply by i*k: (re, im) -> (-k*im, k*re) */
+            sxf[2 * k] = -kx * im * ik2;
+            sxf[2 * k + 1] = kx * re * ik2;
+            wxf[2 * k] = -kx * im;
+            wxf[2 * k + 1] = kx * re;
+            syf[2 * k] = -ky * im * ik2;
+            syf[2 * k + 1] = ky * re * ik2;
+            wyf[2 * k] = -ky * im;
+            wyf[2 * k + 1] = ky * re;
+        }
+    }
+}
+
+/* Physical-space Jacobian product: jacp = Re(sx) Re(wy) - Re(sy) Re(wx),
+ * written as a complex array (imag = 0) for the subsequent fft2. */
+void ps23_product(const double *sx, const double *wy, const double *sy,
+                  const double *wx, long long n, double *jacp) {
+    for (long long k = 0; k < n; ++k) {
+        jacp[2 * k] = sx[2 * k] * wy[2 * k] - sy[2 * k] * wx[2 * k];
+        jacp[2 * k + 1] = 0.0;
+    }
+}
+
+/* One RK3/CN stage combine over the spectrum:
+ *   d = coef * k2;  out = ((1-d)/(1+d)) in + (rho_dt jprev + gamma_dt j)/(1+d)
+ * (pseudospectral_23_rule.jl:44-70 stage algebra).  Real factors applied
+ * to both complex components; caller zeroes the mean mode. */
+void ps23_stage(const double *in, const double *jprev, const double *jc,
+                const double *k2, long long n, double coef, double rho_dt,
+                double gamma_dt, double *out) {
+    for (long long k = 0; k < n; ++k) {
+        const double d = coef * k2[k];
+        const double a = (1.0 - d) / (1.0 + d), b = 1.0 / (1.0 + d);
+        out[2 * k] = a * in[2 * k]
+            + (rho_dt * jprev[2 * k] + gamma_dt * jc[2 * k]) * b;
+        out[2 * k + 1] = a * in[2 * k + 1]
+            + (rho_dt * jprev[2 * k + 1] + gamma_dt * jc[2 * k + 1]) * b;
+    }
+}

@@ -49,8 +49,16 @@ def load() -> ctypes.CDLL:
                              ctypes.c_double]
     lib.restrict_fw.argtypes = [d, d, ctypes.c_int]
     lib.prolong_correct.argtypes = [d, d, ctypes.c_int]
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.ps23_derivs.argtypes = [d, d, d, d, u8, ctypes.c_int, ctypes.c_int,
+                                d, d, d, d]
+    lib.ps23_product.argtypes = [d, d, d, d, ctypes.c_longlong, d]
+    lib.ps23_stage.argtypes = [d, d, d, d, ctypes.c_longlong,
+                               ctypes.c_double, ctypes.c_double,
+                               ctypes.c_double, d]
     for f in (lib.arakawa_rhs, lib.stage_combine, lib.bc2, lib.gs_sweep,
-              lib.residual, lib.restrict_fw, lib.prolong_correct):
+              lib.residual, lib.restrict_fw, lib.prolong_correct,
+              lib.ps23_derivs, lib.ps23_product, lib.ps23_stage):
         f.restype = None
     _lib = lib
     return lib
@@ -88,3 +96,27 @@ def restrict_fw(r_fine, r_coarse):
 
 def prolong_correct(e_coarse, u_fine):
     load().prolong_correct(_p(e_coarse), _p(u_fine), e_coarse.shape[0])
+
+
+def _pc(a: np.ndarray):
+    """complex128 array as an interleaved double pointer."""
+    assert a.dtype == np.complex128 and a.flags["C_CONTIGUOUS"]
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def ps23_derivs(wf, kx0, ky0, k2, mask, sxf, wyf, syf, wxf):
+    assert mask.dtype == np.uint8 and mask.flags["C_CONTIGUOUS"]
+    load().ps23_derivs(_pc(wf), _p(kx0), _p(ky0), _p(k2),
+                       mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       wf.shape[0], wf.shape[1],
+                       _pc(sxf), _pc(wyf), _pc(syf), _pc(wxf))
+
+
+def ps23_product(sx, wy, sy, wx, jacp):
+    load().ps23_product(_pc(sx), _pc(wy), _pc(sy), _pc(wx), sx.size,
+                        _pc(jacp))
+
+
+def ps23_stage(inp, jprev, jc, k2, coef, rho_dt, gamma_dt, out):
+    load().ps23_stage(_pc(inp), _pc(jprev), _pc(jc), _p(k2), inp.size,
+                      coef, rho_dt, gamma_dt, _pc(out))

@@ -281,7 +281,7 @@ def test_final_stdout_line_is_complete_battery_json(monkeypatch, tmp_path,
     assert out["metric"] == "cavity_1024_steps_per_sec"
     assert out["value"] == 1303.0 and out["vs_baseline"] == 130.3
     assert out["ps23_2048_steps_per_sec"] == 179.3
-    assert out["ps23_vs_baseline"] == round(179.3 / 0.40, 1)
+    assert out["ps23_vs_baseline"] == round(179.3 / 0.47, 1)
     assert out["mg_4096_solve_s"] == 0.11
     assert out["mg_vs_baseline"] == round(3.68 / 0.11, 1)
     # precision-tier tagging (ADVICE r4): the record's tier is explicit
