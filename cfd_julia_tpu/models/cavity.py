@@ -81,7 +81,11 @@ class CavityConfig:
                              # fst (DST-I via odd-extension rfft) |
                              # fst_half (DST-I via the half-length rfft +
                              # pre/post passes) | matmul (dense MXU sine
-                             # transform) | fst_mxu (DST-I via the
+                             # transform; _bf16x3 = 3-pass bf16 tier,
+                             # _bf16x1 = single-pass bf16,
+                             # _bf16x1r = single-pass + one iterative-
+                             # refinement pass, bf16x3-grade accuracy at
+                             # 8 one-pass matmuls) | fst_mxu (DST-I via the
                              # four-step MXU matmul FFT) | fst_half_mxu
                              # (half-length rfft on the MXU) — same
                              # eigenvalues and results; TPU microbench picks
@@ -254,7 +258,8 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
             return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
     if poisson not in ("fst", "matmul", "matmul_bf16x3", "matmul_bf16x1",
-                       "fst_mxu", "fst_half", "fst_half_mxu"):
+                       "matmul_bf16x1r", "fst_mxu", "fst_half",
+                       "fst_half_mxu"):
         # a typo'd variant name must never silently run (and get
         # benchmarked as) the default solver
         raise ValueError(f"unknown poisson solver {poisson!r}")
@@ -263,6 +268,23 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
             f"poisson={poisson!r} is single-device only; the mesh-"
             "aware step uses poisson='fst'/'fst_half' (pencil DST) or "
             "make_padded_step_fn (matmul DST with native sharding)")
+    if (poisson in ("fst_half", "fst_half_mxu") and rhs_impl == "xla"
+            and jax.default_backend() == "tpu"):
+        # CONFIRMED XLA:TPU miscompile (round-5 bisection, docs/PERF.md +
+        # benchmarks/fsthalf_repro*.py): with two different-axis
+        # half-length DSTs downstream, the UPSTREAM program (the
+        # identically-defined RHS/BC prefix) compiles to values 14% off;
+        # optimization_barriers at every seam do not fix it (the
+        # corruption is module-shape-dependent, not a fusion seam), so
+        # there is no safe form of this combination.  The Pallas-RHS
+        # step with the same solver passes the physics gate (its custom
+        # call changes the module shape), as do CPU runs.
+        raise ValueError(
+            "poisson='fst_half'/'fst_half_mxu' with the XLA RHS is "
+            "disabled on the TPU backend: a confirmed backend miscompile "
+            "corrupts the step (psi 14-19% off; see docs/PERF.md round-5 "
+            "'fst_half miscompile' and benchmarks/fsthalf_repro*.py). "
+            "Use rhs_impl='pallas' or a matmul/fst solver.")
     if poisson in ("matmul", "matmul_bf16x3", "matmul_bf16x1"):
         # interior-aligned matmul solver: reads the interior, returns
         # exact-zero walls — same contract as solve_fst, with dot
@@ -277,6 +299,12 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
                 "matmul_bf16x1": "default"}.get(poisson, "highest")
         solve = lambda f: direct.solve_fst_matmul_interior(
             f, cfg.nx, cfg.ny, dx, dy, mm_precision=prec)
+    elif poisson == "matmul_bf16x1r":
+        # single-pass bf16 DST + one iterative-refinement pass: bf16x3-
+        # grade accuracy (~eps^2) for 8 one-pass matmuls + a stencil
+        # instead of 12 bf16 passes (direct.solve_fst_matmul_refined)
+        solve = lambda f: direct.solve_fst_matmul_refined(
+            f, cfg.nx, cfg.ny, dx, dy)
     elif poisson == "fst_half_mxu":
         # half-length DST with its rfft on the MXU
         solve = lambda f: direct.solve_fst(f, dx, dy, impl="half_mxu",

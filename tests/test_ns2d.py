@@ -314,3 +314,23 @@ def test_variant_selector_typos_rejected():
     # single-chip assemble path does
     with pytest.raises(ValueError, match="bc_order"):
         cavity._wall_bc_fields(np.zeros((5, 5)), 0.1, 0.1, 3)
+
+
+def test_fst_half_xla_rhs_guard_on_tpu(monkeypatch):
+    """The [fst_half* + XLA RHS + TPU] combination is a confirmed
+    backend miscompile (docs/PERF.md round 5) and must be rejected
+    loudly at step-build time; the Pallas-RHS form stays allowed."""
+    import jax
+    import pytest as _pytest
+
+    from cfd_julia_tpu.models import cavity
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for poisson in ("fst_half", "fst_half_mxu"):
+        with _pytest.raises(ValueError, match="miscompile"):
+            cavity.make_step_fn(cavity.CavityConfig(
+                nx=32, ny=32, poisson=poisson, rhs_impl="xla"))
+    # CPU backend: both combinations stay available
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    cavity.make_step_fn(cavity.CavityConfig(
+        nx=32, ny=32, poisson="fst_half", rhs_impl="xla"))
