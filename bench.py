@@ -394,6 +394,123 @@ def worker_mg(variant: str, nx: int, tol: float, window: int = 4):
     return dt, int(res.iterations)
 
 
+# ---------------- coverage battery (VERDICT r5 items 6-7) ----------------
+# One physics-anchored row per remaining reference family: the 1D Euler
+# shock solvers at their reference configs (euler_hllc.jl:154-190 scaled
+# to nx=8192, roe at the ch. 9 nx=256), CRWENO Burgers (crweno_periodic
+# .jl:195-206 at nx=1600), and the three NS2D formulations that are not
+# the ps23 headline (vm.jl:138-140 fdm, hybrid.jl:198, 21_.../
+# pseudospectral_32_rule.jl:224-228) at 2048^2.  Each runs once per full
+# bench with the same scan-window + anchor-gate methodology; rows land
+# in bench_last.json / the final JSON line, not the headline.
+# (family, variant, nx, steps) — variant strings are worker-specific.
+COVERAGE_ROWS = (
+    ("euler", "hllc,pallas", 8192, 1000),
+    ("euler", "hllc,xla", 8192, 1000),       # rhs auto-policy evidence
+    ("euler", "rusanov,pallas", 8192, 1000),
+    ("euler", "roe,xla", 256, 1000),
+    ("crweno", "pcr", 1600, 1000),
+    ("vortex2", "fdm", 2048, 100),
+    ("vortex2", "hybrid", 2048, 100),
+    ("vortex2", "ps32", 2048, 100),
+)
+
+
+def worker_euler(variant: str, nx: int, steps: int):
+    """One 1D Euler Sod family: steps/s + anchored density metrics."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import euler1d
+    from cfd_julia_tpu.stepping import ssprk3
+
+    solver, rhs_impl = variant.split(",")
+    # diffusive-free CFL: dt scaled with nx from the ch. 9/10 reference
+    # configs (dt=1e-4 at nx=256; max wavespeed ~2.4 on Sod)
+    dt = 1e-4 * 256 / nx
+    cfg = euler1d.EulerConfig(nx=nx, solver=solver, rhs_impl=rhs_impl,
+                              dt=dt)
+    _, q0 = euler1d.sod_initial_state(cfg, jnp.float32)
+    rhs = euler1d.make_rhs(cfg)
+    step = lambda q: ssprk3.ssprk3_step(rhs, q, cfg.dt)
+    sps, q = _timed_scan(step, q0, steps, lambda q: float(q[0].sum()))
+    assert bool(jnp.isfinite(q).all()), f"euler {variant} non-finite"
+    metrics = {"rho_min": float(q[0].min()),
+               "rho_l2": float(jnp.sqrt((q[0] ** 2).mean()))}
+    metrics["physics"] = _check_anchor(f"euler_{solver}", nx, 2 * steps,
+                                       metrics)
+    return sps, metrics
+
+
+def worker_crweno(variant: str, nx: int, steps: int):
+    """CRWENO-5 periodic Burgers (cyclic tridiagonal via PCR)."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import burgers1d
+    from cfd_julia_tpu.stepping import ssprk3
+
+    dt = 1e-4 * 200 / nx
+    cfg = burgers1d.BurgersConfig(nx=nx, solver="crweno", bc="periodic",
+                                  dt=dt, tridiag_method=variant)
+    rhs = burgers1d.make_rhs(cfg)
+    x, = (burgers1d.grid_coords(cfg, jnp.float32),)
+    u0 = jnp.sin(2.0 * jnp.pi * x)
+    step = lambda u: ssprk3.ssprk3_step(rhs, u, cfg.dt)
+    sps, u = _timed_scan(step, u0, steps, lambda u: float(u.sum()))
+    assert bool(jnp.isfinite(u).all()), "crweno non-finite"
+    metrics = {"u_max": float(jnp.abs(u).max()),
+               "u_l2": float(jnp.sqrt((u ** 2).mean()))}
+    metrics["physics"] = _check_anchor("crweno", nx, 2 * steps, metrics)
+    return sps, metrics
+
+
+def worker_vortex2(variant: str, nx: int, steps: int):
+    """NS2D vortex merger, non-ps23 formulations (fdm | hybrid | ps32)."""
+    import jax
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import vortex
+    from cfd_julia_tpu.stepping import ssprk3
+
+    cfg = vortex.VortexConfig(nx=nx, ny=nx, solver=variant, dt=1e-3)
+    w0 = vortex.initial_vorticity(cfg, jnp.float32)
+    if variant == "fdm":
+        rhs = lambda w: vortex.fdm_rhs(w, cfg.dx, cfg.dy, cfg.re)
+        step = lambda w: ssprk3.ssprk3_step(rhs, w, cfg.dt)
+        sps, w = _timed_scan(step, w0, steps, lambda w: float(w.sum()))
+    else:
+        step = vortex.make_spectral_step_half_packed(cfg, jnp.float32)
+        hf = jax.jit(vortex.half_init_packed)(w0)
+        sps, hf = _timed_scan(step, hf, steps,
+                              lambda s: float(jnp.abs(s).sum()))
+        w = jax.jit(lambda h: vortex.half_decode_packed(
+            h, cfg.ny, jnp.float32))(hf)
+    assert bool(jnp.isfinite(w).all()), f"vortex {variant} non-finite"
+    metrics = {"wmax": float(jnp.abs(w).max()),
+               "enstrophy": float((w.astype(jnp.float32) ** 2).sum())}
+    metrics["physics"] = _check_anchor(variant, nx, 2 * steps, metrics)
+    return sps, metrics
+
+
+def run_coverage(summary, all_results, variant_timeout_s: float,
+                 budget_s: float = 1500.0):
+    """Measure every COVERAGE_ROWS family once (per-row subprocess);
+    record coverage_<family>_<variant>_<nx> rows in the summary."""
+    t0 = time.perf_counter()
+    for family, variant, nx, steps in COVERAGE_ROWS:
+        if time.perf_counter() - t0 > budget_s:
+            print(f"# coverage budget exhausted; stopping", file=sys.stderr)
+            break
+        r = _spawn_variant(family, variant, nx, steps, 0.0,
+                           variant_timeout_s)
+        all_results.append(r)
+        key = f"coverage_{family}_{variant.replace(',', '_')}_{nx}"
+        if "error" in r:
+            print(f"# coverage {family} {variant} {nx}: {r['error']}",
+                  file=sys.stderr)
+            continue
+        print(f"# coverage {family} {variant} {nx}: {r['value']:.4g} "
+              f"steps/s [physics {r.get('physics')}]", file=sys.stderr)
+        summary[key] = round(r["value"], 2)
+        summary[f"{key}_physics"] = r.get("physics")
+
+
 def run_worker(args):
     """Single-variant subprocess body: one JSON result line on stdout."""
     from cfd_julia_tpu.jaxconfig import configure_jax
@@ -413,6 +530,12 @@ def run_worker(args):
     elif args.worker == "mg":
         dt, cycles = worker_mg(args.variant, args.nx, args.tol)
         out.update(value=dt, unit="s", cycles=cycles)
+    elif args.worker in ("euler", "crweno", "vortex2"):
+        fn = {"euler": worker_euler, "crweno": worker_crweno,
+              "vortex2": worker_vortex2}[args.worker]
+        out["value"], metrics = fn(args.variant, args.nx, args.steps)
+        out["unit"] = "steps/s"
+        out.update(metrics)
     else:
         raise SystemExit(f"unknown worker {args.worker!r}")
     print(json.dumps(out), flush=True)
@@ -587,6 +710,9 @@ def main(argv=None):
     ap.add_argument("--budget", type=float, default=1500.0,
                     help="cavity race budget, seconds")
     ap.add_argument("--variant-timeout", type=float, default=840.0)
+    ap.add_argument("--no-coverage", action="store_true",
+                    help="skip the per-family coverage battery after the "
+                         "three north-star races")
     ap.add_argument("--max-variants", type=int, default=0,
                     help="cap each family's race to its first N variants "
                          "(0 = all). --max-variants 1 is the battery's "
@@ -717,9 +843,21 @@ def main(argv=None):
     # stdout line; round 4's record had "parsed": null because the early
     # emit (kept above for timeout safety) was followed by stray stdout.
     # Done-criterion from VERDICT r4 item 1.
-    _emit(round(cavity_sps, 2), vs, metric=metric, final=True, **extra,
-          **{k: v for k, v in summary.items()
-             if k.startswith(("ps23_", "mg_"))})
+    def _final_emit():
+        _emit(round(cavity_sps, 2), vs, metric=metric, final=True, **extra,
+              **{k: v for k, v in summary.items()
+                 if k.startswith(("ps23_", "mg_", "coverage_"))})
+
+    _final_emit()
+
+    # coverage battery (one anchored row per remaining reference family)
+    # AFTER the final emit — a driver timeout mid-coverage still leaves a
+    # complete JSON as the last stdout line; on completion we save and
+    # re-emit with the coverage rows included.
+    if not args.no_coverage:
+        run_coverage(summary, all_results, args.variant_timeout)
+        _save_results({"summary": summary, "results": all_results})
+        _final_emit()
     return 0
 
 

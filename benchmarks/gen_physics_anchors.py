@@ -67,10 +67,61 @@ def ps23_anchor(nx: int, total_steps: int):
             "enstrophy": float((w ** 2).sum())}
 
 
+def euler_anchor(solver: str, nx: int, total_steps: int):
+    from cfd_julia_tpu.models import euler1d
+    from cfd_julia_tpu.stepping import loop, ssprk3
+
+    cfg = euler1d.EulerConfig(nx=nx, solver=solver,
+                              dt=1e-4 * 256 / nx)   # = bench worker dt
+    _, q0 = euler1d.sod_initial_state(cfg, jnp.float64)
+    rhs = euler1d.make_rhs(cfg)
+    step = lambda q: ssprk3.ssprk3_step(rhs, q, cfg.dt)
+    q = jax.jit(lambda q: loop.run_steps(step, q, total_steps))(q0)
+    return {"rho_min": float(q[0].min()),
+            "rho_l2": float(jnp.sqrt((q[0] ** 2).mean()))}
+
+
+def crweno_anchor(nx: int, total_steps: int):
+    from cfd_julia_tpu.models import burgers1d
+    from cfd_julia_tpu.stepping import loop, ssprk3
+
+    cfg = burgers1d.BurgersConfig(nx=nx, solver="crweno", bc="periodic",
+                                  dt=1e-4 * 200 / nx)
+    rhs = burgers1d.make_rhs(cfg)
+    x = burgers1d.grid_coords(cfg, jnp.float64)
+    u0 = jnp.sin(2.0 * jnp.pi * x)
+    step = lambda u: ssprk3.ssprk3_step(rhs, u, cfg.dt)
+    u = jax.jit(lambda u: loop.run_steps(step, u, total_steps))(u0)
+    return {"u_max": float(jnp.abs(u).max()),
+            "u_l2": float(jnp.sqrt((u ** 2).mean()))}
+
+
+def vortex2_anchor(solver: str, nx: int, total_steps: int):
+    from cfd_julia_tpu.models import vortex
+    from cfd_julia_tpu.stepping import loop, ssprk3
+
+    cfg = vortex.VortexConfig(nx=nx, ny=nx, solver=solver, dt=1e-3)
+    w0 = vortex.initial_vorticity(cfg, jnp.float64)
+    if solver == "fdm":
+        rhs = lambda w: vortex.fdm_rhs(w, cfg.dx, cfg.dy, cfg.re)
+        step = lambda w: ssprk3.ssprk3_step(rhs, w, cfg.dt)
+        w = jax.jit(lambda w: loop.run_steps(step, w, total_steps))(w0)
+    else:
+        step = vortex.make_spectral_step_half_packed(cfg, jnp.float64)
+        hf = jax.jit(vortex.half_init_packed)(w0)
+        hf = jax.jit(lambda h: loop.run_steps(step, h, total_steps))(hf)
+        w = jax.jit(lambda h: vortex.half_decode_packed(
+            h, cfg.ny, jnp.float64))(hf)
+    return {"wmax": float(jnp.abs(w).max()),
+            "enstrophy": float((w ** 2).sum())}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick-only", action="store_true",
                     help="only the cheap small-grid test anchors")
+    ap.add_argument("--coverage-only", action="store_true",
+                    help="only the round-5 coverage-battery anchors")
     args = ap.parse_args()
 
     # (key, fn, kwargs): total_steps = 2x the bench scan window (warmup
@@ -79,13 +130,34 @@ def main():
     # / 100 ps23; quick: steps=50 cavity).
     jobs = [("cavity:64:40", cavity_anchor, dict(nx=64, total_steps=40)),
             ("ps23:64:20", ps23_anchor, dict(nx=64, total_steps=20))]
-    if not args.quick_only:
+    if args.coverage_only:
+        jobs = []
+    if not args.quick_only and not args.coverage_only:
         jobs += [
             ("cavity:1024:100", cavity_anchor,
              dict(nx=1024, total_steps=100)),
             ("cavity:1024:2000", cavity_anchor,
              dict(nx=1024, total_steps=2000)),
             ("ps23:2048:200", ps23_anchor, dict(nx=2048, total_steps=200)),
+        ]
+    if not args.quick_only:
+        # round-5 coverage battery (bench.py COVERAGE_ROWS): total_steps
+        # = 2x the worker scan window at the exact worker configs
+        jobs += [
+            ("euler_hllc:8192:2000", euler_anchor,
+             dict(solver="hllc", nx=8192, total_steps=2000)),
+            ("euler_rusanov:8192:2000", euler_anchor,
+             dict(solver="rusanov", nx=8192, total_steps=2000)),
+            ("euler_roe:256:2000", euler_anchor,
+             dict(solver="roe", nx=256, total_steps=2000)),
+            ("crweno:1600:2000", crweno_anchor,
+             dict(nx=1600, total_steps=2000)),
+            ("fdm:2048:200", vortex2_anchor,
+             dict(solver="fdm", nx=2048, total_steps=200)),
+            ("hybrid:2048:200", vortex2_anchor,
+             dict(solver="hybrid", nx=2048, total_steps=200)),
+            ("ps32:2048:200", vortex2_anchor,
+             dict(solver="ps32", nx=2048, total_steps=200)),
         ]
 
     anchors = {}

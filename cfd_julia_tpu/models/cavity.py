@@ -82,10 +82,8 @@ class CavityConfig:
                              # fst_half (DST-I via the half-length rfft +
                              # pre/post passes) | matmul (dense MXU sine
                              # transform; _bf16x3 = 3-pass bf16 tier,
-                             # _bf16x1 = single-pass bf16,
-                             # _bf16x1r = single-pass + one iterative-
-                             # refinement pass, bf16x3-grade accuracy at
-                             # 8 one-pass matmuls) | fst_mxu (DST-I via the
+                             # _bf16x1 = single-pass bf16) |
+                             # fst_mxu (DST-I via the
                              # four-step MXU matmul FFT) | fst_half_mxu
                              # (half-length rfft on the MXU) — same
                              # eigenvalues and results; TPU microbench picks
@@ -258,8 +256,7 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
             return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
     if poisson not in ("fst", "matmul", "matmul_bf16x3", "matmul_bf16x1",
-                       "matmul_bf16x1r", "fst_mxu", "fst_half",
-                       "fst_half_mxu"):
+                       "fst_mxu", "fst_half", "fst_half_mxu"):
         # a typo'd variant name must never silently run (and get
         # benchmarked as) the default solver
         raise ValueError(f"unknown poisson solver {poisson!r}")
@@ -299,12 +296,6 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
                 "matmul_bf16x1": "default"}.get(poisson, "highest")
         solve = lambda f: direct.solve_fst_matmul_interior(
             f, cfg.nx, cfg.ny, dx, dy, mm_precision=prec)
-    elif poisson == "matmul_bf16x1r":
-        # single-pass bf16 DST + one iterative-refinement pass: bf16x3-
-        # grade accuracy (~eps^2) for 8 one-pass matmuls + a stencil
-        # instead of 12 bf16 passes (direct.solve_fst_matmul_refined)
-        solve = lambda f: direct.solve_fst_matmul_refined(
-            f, cfg.nx, cfg.ny, dx, dy)
     elif poisson == "fst_half_mxu":
         # half-length DST with its rfft on the MXU
         solve = lambda f: direct.solve_fst(f, dx, dy, impl="half_mxu",

@@ -134,3 +134,34 @@ def solve_fst_matmul_interior(f, nx: int, ny: int, dx: float, dy: float,
     coeff = mm(mm(sx, g), sy) / den
     u = mm(mm(sx, coeff), sy) * (4.0 / (nx * ny))
     return jnp.pad(u, 1)
+
+
+def solve_fst_matmul_refined(f, nx: int, ny: int, dx: float, dy: float):
+    """NEGATIVE RESULT (kept as documentation + CPU-verified plumbing;
+    not user-selectable): one iterative-refinement pass around the
+    single-pass-bf16 DST solve — u1 = solve_1pass(f); r = f - lap(u1);
+    u = u1 + solve_1pass(r).
+
+    The hoped-for eps^2 error does NOT materialize on chip: measured
+    PHYSICS REJECT at 1024^2 (psi_l2 17% LOW, round-5 battery).  Why:
+    classic iterative refinement needs eps * kappa(A) < 1.  The bf16
+    transform error acts as a ~eps backward error ON THE RESIDUAL'S
+    TRANSFORM, and r = -L(delta1) is dominated by delta1's broadband
+    rounding content amplified by ||L|| ~ 4/h^2; the correction solve's
+    own transform error then lands on the SMALL eigenvalues (divided by
+    den_min ~ 2 pi^2), so the error of e relative to u is
+    ~ eps * kappa(L) * ||delta1|| with kappa(L) ~ 4e5 at 1024^2 —
+    larger than the delta1 it removes.  The only working lever is
+    reducing eps at the transform level, which is exactly the bf16x3
+    tier (precision='high').  Reference semantics:
+    14_Poisson_Solver_FST/fft_d.jl:7-23."""
+    from cfd_julia_tpu.ops import arakawa
+
+    u1 = solve_fst_matmul_interior(f, nx, ny, dx, dy,
+                                   mm_precision="default")
+    # interior residual; the laplacian's boundary rows are garbage but
+    # the correction solve reads [1:nx, 1:ny] only
+    r = f - arakawa.laplacian(u1, dx, dy)
+    e = solve_fst_matmul_interior(r, nx, ny, dx, dy,
+                                  mm_precision="default")
+    return u1 + e

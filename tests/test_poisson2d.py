@@ -487,3 +487,29 @@ def test_matmul_interior_matches_fst_irregular_sizes(nx, ny):
     assert u_int.shape == u_fst.shape == (nx + 1, ny + 1)
     np.testing.assert_allclose(np.asarray(u_int), np.asarray(u_fst),
                                rtol=0, atol=1e-11)
+
+
+def test_matmul_refined_matches_fst_and_refines():
+    """solve_fst_matmul_refined (negative-result artifact, see its
+    docstring: on-chip the eps*kappa(L) amplification makes refinement
+    WORSE and the physics gate rejected it): the construction itself is
+    still exact math — on CPU (precision knobs no-op) it must equal the
+    plain solvers, pinning that the documented failure is the bf16
+    conditioning analysis, not broken plumbing."""
+    import jax.numpy as jnp
+
+    from cfd_julia_tpu.poisson import direct
+
+    nx = ny = 48
+    dx = dy = 1.0 / nx
+    rng = np.random.default_rng(7)
+    f = np.zeros((nx + 1, ny + 1))
+    f[1:-1, 1:-1] = rng.standard_normal((nx - 1, ny - 1))
+    f = jnp.asarray(f)
+    u_fst = direct.solve_fst(f, dx, dy)
+    u_ref = direct.solve_fst_matmul_refined(f, nx, ny, dx, dy)
+    assert u_ref.shape == u_fst.shape
+    np.testing.assert_allclose(np.asarray(u_ref), np.asarray(u_fst),
+                               rtol=0, atol=1e-10)
+    assert np.abs(np.asarray(u_ref)[0, :]).max() == 0.0   # zero walls
+    assert np.abs(np.asarray(u_ref)[:, -1]).max() == 0.0
