@@ -854,7 +854,9 @@ def main(argv=None):
     # AFTER the final emit — a driver timeout mid-coverage still leaves a
     # complete JSON as the last stdout line; on completion we save and
     # re-emit with the coverage rows included.
-    if not args.no_coverage:
+    if not args.no_coverage and args.max_variants == 0:
+        # full runs only: the secure pass (--max-variants) must stay a
+        # bounded three-metric record for short tunnel windows
         run_coverage(summary, all_results, args.variant_timeout)
         _save_results({"summary": summary, "results": all_results})
         _final_emit()

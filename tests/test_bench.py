@@ -274,6 +274,11 @@ def test_final_stdout_line_is_complete_battery_json(monkeypatch, tmp_path,
             else (179.3, "matmul:high")
 
     monkeypatch.setattr(bench, "race", fake_race)
+
+    def fake_coverage(summary, all_results, timeout_s, budget_s=0.0):
+        summary["coverage_euler_hllc_pallas_8192"] = 9000.0
+
+    monkeypatch.setattr(bench, "run_coverage", fake_coverage)
     assert bench.main([]) == 0
     last = capsys.readouterr().out.strip().splitlines()[-1]
     out = json.loads(last)       # the LAST line parses, full stop
@@ -289,6 +294,8 @@ def test_final_stdout_line_is_complete_battery_json(monkeypatch, tmp_path,
     assert out["precision_tier"].startswith("bf16-1pass")
     assert out["default_variant_steps_per_sec"] == 937.5
     assert out["default_variant"] == "matmul_bf16x3+pallasrhs"
+    # coverage rows ride the final line too
+    assert out["coverage_euler_hllc_pallas_8192"] == 9000.0
 
 
 def test_variant_names():
