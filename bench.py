@@ -228,7 +228,13 @@ PS_VARIANTS = (
 # smoother: fewer fine-level passes but no fused-edge form, measured
 # slower than the Pallas RB slab on chip.
 MG_VARIANTS = (
-    ("matmul", "on", "plain"), ("matmul", "on", "fmg"),
+    ("matmul", "on", "plain"),
+    # mixed pyramid (round 5): finest level fp32, coarse levels bf16 —
+    # the fine-level-fp32 design the round-4 bf16-IR note asked for;
+    # converges like fp32 (test_mg_mixed_precision_pyramid) with the
+    # sub-finest pyramid's HBM traffic halved
+    ("matmul", "on", "plain", "auto", "mixed"),
+    ("matmul", "on", "fmg"),
     ("matmul", "off", "plain"), ("matmul", "off", "fmg"),
     ("matmul", "off", "plain", "cheb"),
     ("conv", "off", "plain"),

@@ -339,6 +339,12 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None,
     else:
         impls = impls or [_pick_smoother(l[0], l[1]) for l in levels]
     restrict_fn, prolong_fn = _pick_transfers(cfg.transfers)
+    # cycle_dtype="mixed": finest level stays in the input dtype (fp32),
+    # every coarser level runs bf16 — the fine-level correction (whose
+    # bf16 storage rounding stalled the full-bf16 pyramid at 4096^2,
+    # docs/PERF.md round 4) never leaves fp32, while the pyramid below
+    # halves its HBM traffic.  The casts live on the level-0/1 edges.
+    mixed = cfg.cycle_dtype == "mixed"
 
     # descend: pre-smooth -> residual -> restrict -> next level from zero.
     # Fused levels run the whole edge (smooth + residual + restrict) as
@@ -362,9 +368,11 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None,
             r = residual_full(fs[k], uk, dxk, dyk, imasks[k])
             fk = restrict_fn(r)
         us[k] = uk
+        if mixed and k == 0:
+            fk = fk.astype(jnp.bfloat16)
         fs.append(fk)
         nxn, nyn, _, _ = levels[k + 1]
-        us.append(jnp.zeros((nxn + 1, nyn + 1), u.dtype))
+        us.append(jnp.zeros((nxn + 1, nyn + 1), fk.dtype))
     nxc, nyc, dxc, dyc = levels[n - 1]
     us[n - 1] = smooth(us[n - 1], fs[n - 1], dxc, dyc,
                        cfg.v2 if n > 1 else cfg.v1,
@@ -374,18 +382,19 @@ def v_cycle(u, f, levels, masks, imasks, cfg: MGConfig, impls=None,
     ssq = None
     for k in range(n - 1, 0, -1):
         nxp, nyp, dxp, dyp = levels[k - 1]
+        uc = us[k].astype(us[k - 1].dtype)    # mixed: bf16 -> fp32 edge
         fine_rms = want_rms and k - 1 == 0 and 2 * cfg.v3 + 1 <= \
             pallas_kernels.GUARD
         if _use_fused(cfg, nxp, nyp, 2 * cfg.v3 + (1 if fine_rms else 0)):
             res = pallas_kernels.prolong_correct_smooth_fused(
-                us[k - 1], fs[k - 1], us[k], dxp, dyp, cfg.v3,
+                us[k - 1], fs[k - 1], uc, dxp, dyp, cfg.v3,
                 want_rms=fine_rms)
             if fine_rms:
                 us[k - 1], ssq = res
             else:
                 us[k - 1] = res
             continue
-        corr = prolong_fn(us[k]) * imasks[k - 1]
+        corr = prolong_fn(uc) * imasks[k - 1]
         us[k - 1] = us[k - 1] + corr
         us[k - 1] = smooth(us[k - 1], fs[k - 1], dxp, dyp, cfg.v3,
                            masks[k - 1], impls[k - 1])
@@ -438,15 +447,19 @@ def solve(f, u0, dx: float, dy: float, cfg: MGConfig = MGConfig(),
     (_mesh_solve): padded domain decomposition on fine levels, coarse
     levels agglomerated to replicated, Chebyshev smoother + matmul
     transfers."""
-    if cfg.cycle_dtype not in ("fp32", "bf16"):
+    if cfg.cycle_dtype not in ("fp32", "bf16", "mixed"):
         raise ValueError(f"unknown cycle_dtype {cfg.cycle_dtype!r} "
-                         "(fp32 | bf16)")
+                         "(fp32 | bf16 | mixed)")
     if mesh is not None:
         return _mesh_solve(f, u0, dx, dy, cfg, mesh)
     nx, ny = f.shape[0] - 1, f.shape[1] - 1
     levels = _build_levels(nx, ny, dx, dy, cfg.n_levels)
-    masks = [color_masks(l[0], l[1], f.dtype) for l in levels]
-    imasks = [interior_mask(l[0], l[1], f.dtype) for l in levels]
+    # mixed pyramid: coarse-level masks in bf16 so the dtype flow stays
+    # bf16 through the coarse smoothers (an fp32 mask would upcast)
+    ldt = [f.dtype] + [jnp.bfloat16 if cfg.cycle_dtype == "mixed"
+                       else f.dtype] * (len(levels) - 1)
+    masks = [color_masks(l[0], l[1], d) for l, d in zip(levels, ldt)]
+    imasks = [interior_mask(l[0], l[1], d) for l, d in zip(levels, ldt)]
 
     mask0 = imasks[0]
     rms0 = _rms_from_full(residual_full(f, u0, dx, dy, mask0), nx, ny)

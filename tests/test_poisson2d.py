@@ -513,3 +513,31 @@ def test_matmul_refined_matches_fst_and_refines():
                                rtol=0, atol=1e-10)
     assert np.abs(np.asarray(u_ref)[0, :]).max() == 0.0   # zero walls
     assert np.abs(np.asarray(u_ref)[:, -1]).max() == 0.0
+
+
+def test_mg_mixed_precision_pyramid():
+    """cycle_dtype='mixed' (round 5): finest level fp32, coarser levels
+    bf16.  Unlike the full-bf16 pyramid (which stalls at 4096^2 because
+    the FINE-level correction rounds to bf16 — docs/PERF.md), the mixed
+    pyramid's fine state never leaves fp32, so convergence must match
+    fp32 cycle-for-cycle (+1 slack) at the bench tolerance, and the
+    solution lands at the same discretization error.  The casts live on
+    the level-0/1 edges (multigrid.v_cycle)."""
+    import jax.numpy as jnp
+    from cfd_julia_tpu.models import poisson2d
+    from cfd_julia_tpu.poisson import multigrid
+
+    errs, cycles = {}, {}
+    for cd in ("fp32", "mixed"):
+        mgc = multigrid.MGConfig(tol=1e-5, max_cycles=30, cycle_dtype=cd)
+        cfg = poisson2d.PoissonConfig(nx=128, ny=128, solver="multigrid",
+                                      problem="poly", mg=mgc)
+        _, _, _, _, ue, f = poisson2d.build_problem(cfg, jnp.float32)
+        u0 = poisson2d._dirichlet_init(ue)
+        res = multigrid.solve(f, u0, cfg.dx, cfg.dy, cfg=mgc)
+        assert float(res.rms / res.rms0) <= 1e-5, cd
+        assert res.u.dtype == jnp.float32
+        errs[cd] = float(jnp.abs(res.u - ue).max())
+        cycles[cd] = int(res.iterations)
+    assert cycles["mixed"] <= cycles["fp32"] + 1, cycles
+    assert errs["mixed"] <= 1.5 * errs["fp32"] + 1e-6, errs
