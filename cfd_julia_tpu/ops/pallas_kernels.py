@@ -60,10 +60,22 @@ _DB_ON = _os.environ.get("CFD_PALLAS_DB", "1") != "0"
 _SEQ = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
 
 
-def _n_buffers(slab_bytes: int) -> int:
-    """2 (prefetch) unless doubling the input slab set would exceed
-    ~11 MB of the scoped-VMEM budget; 1 otherwise."""
-    return 2 if _DB_ON and 2 * slab_bytes <= (11 << 20) else 1
+def _n_buffers(slab_bytes: int, work_bytes: int = 0) -> int:
+    """2 (prefetch) unless the DOUBLED input slabs plus the rest of the
+    working set would crowd scoped VMEM; 1 otherwise.
+
+    work_bytes counts what the round-4 check ignored (ADVICE r4): the
+    pipeline's double-buffered output blocks and the _c32 fp32 compute
+    copies of bf16 slabs — a config near the cap (8192-wide grids at
+    tile=64) could otherwise re-trigger the scoped-VMEM overflow the
+    tile=32 fix removed.  Budget: 14 MB of the ~16 MB scoped VMEM
+    (margin for semaphores/accumulators)."""
+    return 2 if _DB_ON and 2 * slab_bytes + work_bytes <= (14 << 20) else 1
+
+
+def _c32_bytes(slab_elems: int, itemsize: int) -> int:
+    """fp32 compute-copy bytes for bf16 slabs (see _c32); 0 for fp32."""
+    return slab_elems * 4 if itemsize == 2 else 0
 
 
 def _slab_copies(pairs, slot, tt):
@@ -161,7 +173,9 @@ def redblack_sweeps_fused(u, f, dx: float, dy: float, iters: int = 1,
         calls.append(k)
         left -= k
 
-    nb = _n_buffers(2 * slab * W * u.dtype.itemsize)
+    isz = u.dtype.itemsize
+    nb = _n_buffers(2 * slab * W * isz,
+                    2 * tile * W * isz + _c32_bytes(2 * slab * W, isz))
 
     def make_call(sweeps):
         kernel = functools.partial(
@@ -362,7 +376,11 @@ def smooth_residual_restrict_fused(u, f, dx: float, dy: float,
     up = jnp.pad(u, pad)
     fp = jnp.pad(f, pad)
 
-    nb = _n_buffers(2 * (2 * tc + 2 * GUARD) * W * u.dtype.itemsize)
+    isz = u.dtype.itemsize
+    nb = _n_buffers(
+        2 * (2 * tc + 2 * GUARD) * W * isz,
+        2 * (2 * tc * W + tc * wc) * isz
+        + _c32_bytes(2 * (2 * tc + 2 * GUARD) * W, isz))
     kernel = functools.partial(
         _smooth_res_restrict_kernel, tc=tc, n_rows=n_rows, n_cols=n_cols,
         dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps, wc=wc, nb=nb,
@@ -426,7 +444,11 @@ def residual_restrict_fused(u, f, dx: float, dy: float,
     up = jnp.pad(u, pad)
     fp = jnp.pad(f, pad)
 
-    nb = _n_buffers(2 * (2 * tc + 2 * GUARD) * W * u.dtype.itemsize)
+    isz = u.dtype.itemsize
+    nb = _n_buffers(
+        2 * (2 * tc + 2 * GUARD) * W * isz,
+        2 * tc * wc * isz
+        + _c32_bytes(2 * (2 * tc + 2 * GUARD) * W, isz))
     kernel = functools.partial(
         _res_restrict_kernel, tc=tc, n_rows=n_rows, n_cols=n_cols,
         dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, wc=wc, nb=nb,
@@ -563,8 +585,10 @@ def prolong_correct_smooth_fused(u, f, uc, dx: float, dy: float,
     ucp = jnp.pad(uc, ((GUARD, rows_cp - GUARD - nc_rows),
                        (128, WC - 128 - nc_cols)))
 
-    nb = _n_buffers((2 * (tile + 2 * GUARD) * W
-                     + (tile // 2 + 2 * GUARD) * WC) * u.dtype.itemsize)
+    isz = u.dtype.itemsize
+    slab_elems = 2 * (tile + 2 * GUARD) * W + (tile // 2 + 2 * GUARD) * WC
+    nb = _n_buffers(slab_elems * isz,
+                    2 * tile * W * isz + _c32_bytes(slab_elems, isz))
     kernel = functools.partial(
         _prolong_smooth_kernel, tile=tile, n_rows=n_rows, n_cols=n_cols,
         dx2i=1.0 / dx**2, dy2i=1.0 / dy**2, sweeps=sweeps, nb=nb,
@@ -691,7 +715,10 @@ def arakawa_rhs_fused(w, s, dx: float, dy: float, re: float,
     sp = wrap_ext(s)
     W = wp.shape[1]
 
-    nb = _n_buffers(2 * (tile + 2 * GUARD) * W * w.dtype.itemsize)
+    isz = w.dtype.itemsize
+    nb = _n_buffers(2 * (tile + 2 * GUARD) * W * isz,
+                    2 * tile * W * isz
+                    + _c32_bytes(2 * (tile + 2 * GUARD) * W, isz))
     kernel = functools.partial(
         _arakawa_kernel, tile=tile, dx=dx, dy=dy, re=re, nb=nb,
     )

@@ -142,6 +142,26 @@ def test_cavity_ghia_re1000():
     assert abs(float(np.asarray(res.s).min()) - (-0.117929)) < 1e-3
 
 
+@pytest.mark.skipif(os.environ.get("CFD_SLOW") != "1",
+                    reason="slow validation tier: set CFD_SLOW=1")
+def test_cavity_ghia_re1000_256():
+    """Re=1000 at 256^2 (VERDICT r4 item 10: the slow-tier grid above
+    the default-tier 128^2 run) — deviations must shrink with the finer
+    grid, completing the Ghia table Re=100/400/1000 x {default, slow}."""
+    cfg = cavity.CavityConfig(nx=256, ny=256, re=1000.0, t_final=60.0)
+    res = cavity.solve(cfg)
+    assert float(res.rms_history[-1]) < 1e-6
+    u, v = cavity.centerline_velocities(res, cfg)
+    y = np.linspace(0, 1, cfg.ny + 1)
+    ui = np.interp(GHIA_Y, y, np.asarray(u))
+    vi = np.interp(GHIA_X, np.linspace(0, 1, cfg.nx + 1), np.asarray(v))
+    assert np.abs(ui - GHIA_U_1000).max() < 0.008, \
+        np.abs(ui - GHIA_U_1000).max()
+    assert np.abs(vi - GHIA_V_1000).max() < 0.008, \
+        np.abs(vi - GHIA_V_1000).max()
+    assert abs(float(np.asarray(res.s).min()) - (-0.117929)) < 7e-4
+
+
 def test_cavity_bc_orders_agree():
     """1st-order Hoffmann vs 2nd-order Jensen wall BCs give close fields at
     64^2 (lid_driven_cavity.jl keeps both, default bc2)."""
