@@ -51,4 +51,12 @@ echo "== 7. variant solution-error study (fp32, on-TPU) =="
 timeout 3600 python benchmarks/variant_error_study.py 2>&1 \
     | tee "$OUT/variant_err_$STAMP.log"
 
+echo "== 8. MG solve decomposition (fixed-vs-per-cycle split, winning cfg) =="
+timeout 3600 python benchmarks/mg_solve_decomp.py 2>&1 \
+    | tee "$OUT/mg_decomp_$STAMP.log"
+
+echo "== 9. bf16x1 Ghia steady-state certification (reference t=10 run) =="
+timeout 3600 python benchmarks/bf16x1_ghia_certify.py 2>&1 \
+    | tee "$OUT/ghia_certify_$STAMP.log"
+
 echo "== done; next: set auto-selection heuristics from $OUT/microbench_full_$STAMP.log =="

@@ -29,8 +29,10 @@ from cfd_julia_tpu.stepping import loop, ssprk3
 class EulerConfig:
     nx: int = 256
     solver: str = "roe"          # roe | hllc | rusanov
-    rhs_impl: str = "xla"        # xla | pallas (single-VMEM-block fused
-                                 # WENO+Riemann kernel, ops.pallas_kernels)
+    rhs_impl: str = "auto"       # auto (measured winner per backend —
+                                 # see _euler_rhs_choice) | xla | pallas
+                                 # (single-VMEM-block fused WENO+Riemann
+                                 # kernel, ops.pallas_kernels)
     dt: float = 1e-4
     t_final: float = 0.2
     ns: int = 20
@@ -76,15 +78,35 @@ def sod_initial_state(cfg: EulerConfig, dtype):
 _RIEMANN = {"roe": riemann.roe, "hllc": riemann.hllc, "rusanov": riemann.rusanov}
 
 
+def _euler_rhs_choice(name: str, backend=None) -> str:
+    """Resolve rhs_impl="auto" to the measured winner for the backend.
+
+    Round-5 on-chip coverage battery (benchmarks/results/bench_last.json
+    coverage_euler_* rows): the fused Pallas WENO+Riemann kernel vs the
+    XLA RHS at the reference nx=8192 HLLC config decides the TPU choice;
+    CPU always uses the XLA RHS (Pallas would run interpreted).
+    tests/test_autoselect.py pins this resolver against winners.json."""
+    if name != "auto":
+        return name
+    import jax
+
+    backend = backend or jax.default_backend()
+    return "pallas" if backend == "tpu" else "xla"
+
+
 def make_rhs(cfg: EulerConfig):
     dx = cfg.dx
     gamma = cfg.gamma
-    if cfg.rhs_impl == "pallas":
+    rhs_impl = _euler_rhs_choice(cfg.rhs_impl)
+    if rhs_impl == "pallas":
         from cfd_julia_tpu.ops import pallas_kernels
 
         return lambda q: pallas_kernels.euler_rhs_fused(
             q, gamma, dx, cfg.solver,
             rusanov_wavespeed=cfg.rusanov_wavespeed)
+    if rhs_impl != "xla":
+        raise ValueError(f"unknown rhs_impl {cfg.rhs_impl!r} "
+                         "(auto | xla | pallas)")
     solver = _RIEMANN[cfg.solver]
     kwargs = (
         {"wavespeed": cfg.rusanov_wavespeed} if cfg.solver == "rusanov" else {}
