@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--dispatch-steps", type=int, default=10_000,
                     help="steps per device call (bounds single-RPC time "
                          "through the tunnel)")
+    ap.add_argument("--variants", default="bf16x1:matmul_bf16x1,fp32:fst",
+                    help="comma list of label:poisson pairs (one pair -> "
+                         "no cross verdict, compare offline against a "
+                         "saved run)")
     args = ap.parse_args()
 
     import jax
@@ -68,7 +72,8 @@ def main():
     per_call = (args.dispatch_steps // chunk) * chunk
     results = {}
 
-    for label, poisson in (("bf16x1", "matmul_bf16x1"), ("fp32", "fst")):
+    pairs = [v.split(":") for v in args.variants.split(",")]
+    for label, poisson in pairs:
         cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=args.dt,
                                   poisson=poisson, rhs_impl="pallas")
         step = cavity.make_step_fn(cfg)
@@ -114,7 +119,13 @@ def main():
                           if k not in ("u_line", "v_line", "_s", "psi")}
                          | {"variant": label}), flush=True)
 
-    a, b = results["bf16x1"], results["fp32"]
+    labels = [p[0] for p in pairs]
+    if len(labels) < 2:
+        print('{"note": "single-variant run; no cross verdict"}',
+              flush=True)
+        a = b = results[labels[0]]
+    else:
+        a, b = results[labels[0]], results[labels[1]]
     cross_psi = float(np.abs(a["_s"] - b["_s"]).max()
                       / max(np.abs(b["_s"]).max(), 1e-30))
     verdict = {

@@ -95,6 +95,14 @@ class CavityConfig:
                              # Arakawa+Laplacian kernel; its periodic wrap
                              # rows are discarded (only the interior of
                              # the RHS is used), so it matches exactly
+    # BACKEND-DEPENDENT NUMERICS (ADVICE r4): both "auto" fields resolve
+    # against jax.default_backend() AT make_step_fn TIME, so the same
+    # default config runs different algorithms AND precision tiers per
+    # backend (bf16x3 matmul + Pallas RHS on TPU vs fp32 fst + XLA on
+    # CPU; trajectory deltas ~5e-6 rel, inside the physics anchors).  A
+    # step fn built under one backend and executed under
+    # jax.default_device of another gets the build-time variant — pin
+    # poisson/rhs_impl explicitly for cross-backend reproducibility.
 
     @property
     def dx(self) -> float:
