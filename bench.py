@@ -203,7 +203,15 @@ def _timed_scan(step, state, steps: int, sync, chunk: int = 50):
 # and stay out of the race until the root cause is fixed.
 CAVITY_VARIANTS = (
     ("matmul_bf16x1", "highest", "pallas"),
+    # round-5 candidates: the interior-padded fused formulation
+    # (models/cavity_fused.py) — no offset-by-one relayouts, exact MXU
+    # tiles, walls as carried O(n) vectors; raced at all three
+    # precision tiers (trajectory-equality pinned by
+    # tests/test_cavity_fused.py)
+    ("fused_bf16x1", "highest", "xla"),
+    ("fused_bf16x3", "highest", "xla"),
     ("matmul_bf16x3", "highest", "pallas"),
+    ("fused", "highest", "xla"),
     ("matmul_bf16x1", "highest", "xla"),
     ("matmul_bf16x3", "highest", "xla"),
     ("fst", "highest", "xla"),
@@ -266,9 +274,9 @@ def _precision_tier(cavity_impl: str) -> str:
     trajectory deviations vs the fp32 fst baseline at 1024^2/500 steps
     (variant_err_20260818T102642.log + BASELINE.md fp32 study)."""
     impl = cavity_impl.split("+")[0].split(":")[0]
-    if impl == "matmul_bf16x1":
+    if impl.endswith("_bf16x1"):
         return "bf16-1pass (rel_l2 psi ~1.2e-3 vs fp32 @500 steps)"
-    if impl == "matmul_bf16x3":
+    if impl.endswith("_bf16x3"):
         return "bf16-3pass (rel_l2 psi ~5e-6 vs fp32; auto default)"
     return "fp32"
 
@@ -279,16 +287,35 @@ def worker_cavity(variant: str, nx: int, steps: int):
     from cfd_julia_tpu.models import cavity
 
     poisson, prec, rhs = variant.split(",")
-    cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5, poisson=poisson,
-                              fft_precision=prec, rhs_impl=rhs)
-    step = cavity.make_step_fn(cfg)
-    w0 = jnp.zeros((nx + 1, nx + 1), jnp.float32)
-    state = (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32))
-    sps, state = _timed_scan(step, state, steps,
-                             lambda s: float(s[0].sum()))
-    assert bool(jnp.isfinite(state[0]).all()), \
-        f"cavity ({variant}) went non-finite"
-    psi = state[1]
+    if poisson.startswith("fused"):
+        # interior-padded fused formulation: packed state, decoded to the
+        # full grid only for the physics gate (tests/test_cavity_fused.py
+        # pins trajectory equality with the full-grid step)
+        import jax
+        from cfd_julia_tpu.models import cavity_fused
+
+        mmp = {"fused": "highest", "fused_bf16x3": "high",
+               "fused_bf16x1": "default"}[poisson]
+        cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5)
+        step = cavity_fused.make_fused_step_fn(cfg, mm_precision=mmp)
+        state = cavity_fused.init_state(cfg, jnp.float32)
+        sps, state = _timed_scan(step, state, steps,
+                                 lambda s: float(s[0].sum()))
+        assert bool(jnp.isfinite(state[0]).all()), \
+            f"cavity ({variant}) went non-finite"
+        _, psi = jax.jit(lambda st: cavity_fused.decode_state(cfg, st))(
+            state)
+    else:
+        cfg = cavity.CavityConfig(nx=nx, ny=nx, dt=2e-5, poisson=poisson,
+                                  fft_precision=prec, rhs_impl=rhs)
+        step = cavity.make_step_fn(cfg)
+        w0 = jnp.zeros((nx + 1, nx + 1), jnp.float32)
+        state = (w0, jnp.zeros_like(w0), jnp.zeros((), jnp.float32))
+        sps, state = _timed_scan(step, state, steps,
+                                 lambda s: float(s[0].sum()))
+        assert bool(jnp.isfinite(state[0]).all()), \
+            f"cavity ({variant}) went non-finite"
+        psi = state[1]
     metrics = {"psi_min": float(psi.min()),
                "psi_l2": float(jnp.sqrt((psi ** 2).mean()))}
     metrics["physics"] = _check_anchor("cavity", nx, 2 * steps, metrics)

@@ -87,6 +87,10 @@ class CavityConfig:
                              # four-step MXU matmul FFT) | fst_half_mxu
                              # (half-length rfft on the MXU) — same
                              # eigenvalues and results; TPU microbench picks
+                             # | fused / fused_bf16x3 / fused_bf16x1 — the
+                             # interior-padded fused formulation
+                             # (models.cavity_fused, packed state; routed
+                             # by solve(), not make_step_fn)
     fft_precision: str = "highest"   # matmul-FFT impls: "highest"
                              # (fp32-exact) | "high" (3-pass bf16, 2x MXU)
     rhs_impl: str = "auto"   # auto (pallas on TPU with static re,
@@ -263,6 +267,12 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
         def rhs_interior(w, s):
             return arakawa.vorticity_rhs(w, s, dx, dy, re)[1:-1, 1:-1]
 
+    if poisson in ("fused", "fused_bf16x3", "fused_bf16x1"):
+        raise ValueError(
+            "poisson='fused*' selects the interior-padded fused step "
+            "(models.cavity_fused), which carries a packed state and so "
+            "cannot be built by make_step_fn; use cavity.solve (which "
+            "routes it) or cavity_fused.make_fused_step_fn directly")
     if poisson not in ("fst", "matmul", "matmul_bf16x3", "matmul_bf16x1",
                        "fst_mxu", "fst_half", "fst_half_mxu"):
         # a typo'd variant name must never silently run (and get
@@ -352,6 +362,26 @@ def make_step_fn(cfg: CavityConfig, mesh=None, re=None):
 
 @partial(jax.jit, static_argnames=("cfg", "nt"))
 def _run(cfg: CavityConfig, w0, s0, nt: int):
+    if cfg.poisson.startswith("fused"):
+        # interior-padded fused formulation (models.cavity_fused):
+        # pack -> scan the packed step -> decode.  Trajectory-identical
+        # to the full-grid step, including across chunk boundaries
+        # (tests/test_cavity_fused.py::test_pack_midrun_state_...)
+        from cfd_julia_tpu.models import cavity_fused
+
+        mmp = {"fused": "highest", "fused_bf16x3": "high",
+               "fused_bf16x1": "default"}[cfg.poisson]
+        step = cavity_fused.make_fused_step_fn(cfg, mm_precision=mmp)
+
+        def body_f(state, _):
+            state = step(state)
+            return state, state[3]
+
+        packed = cavity_fused.pack_state(cfg, w0, s0)
+        packed, rms_hist = lax.scan(body_f, packed, None, length=nt)
+        w, s = cavity_fused.decode_state(cfg, packed)
+        return w, s, rms_hist
+
     step = make_step_fn(cfg)
 
     def body(state, _):
