@@ -188,28 +188,25 @@ def _timed_scan(step, state, steps: int, sync, chunk: int = 50):
     return steps / dt, state
 
 
-# Variant order = value order: the proven on-chip winner first (round-4
-# full race, bench_full_20260818T120555.log: bf16x1+pallasrhs 1304.6 >
-# bf16x1 1170 > bf16x3+pallasrhs 937.5 > bf16x3 868 >
-# fst_half_mxu:high+pallasrhs 687.3 > matmul 635.9 > fst+pallasrhs
-# 586.9 > fst 570.2 > fst_mxu 477.7), then the rest, so a budget
-# exhaustion or tunnel flap still leaves the best-known number.
-# bf16x1 = single-pass bf16 transforms, physics-accepted on chip
-# (rel_l2_psi 1.2e-3 vs the fst fp32 baseline at 500 steps — inside the
-# 1% fp64 anchors; bf16x3 at 4.8e-6 stays the user-facing auto default,
-# see winners.json).  The fst_half*+xla combos were
-# PHYSICS-REJECTED on chip (psi_l2 19% low at 1024^2 — same solver
-# passes with the Pallas RHS; backend miscompile under investigation)
-# and stay out of the race until the root cause is fixed.
+# Variant order = value order: the proven on-chip winner first, so a
+# budget exhaustion or tunnel flap still leaves the best-known number.
+# bf16x1 = single-pass bf16 transforms — passes the 1% corruption
+# anchors but is NOT certified at the full reference run (BASELINE.md
+# round-5 study); bf16x3 (~5e-6 rel trajectory) is certified fp32-grade
+# and is the user-facing auto default (winners.json).  The fst_half*
+# +xla combos are PHYSICS-REJECTED on chip (confirmed XLA:TPU backend
+# miscompile, docs/PERF.md) and stay out of the race.
+# Round-5 solo race (fused_race_20260819T041823.log, all physics ok):
+# fused_bf16x1 1670.9 > matmul_bf16x1+pallasrhs ~1300-1311 >
+# fused_bf16x3 1098.0 (certified tier clears the 1000/s = 100x bar) >
+# matmul_bf16x3+pallasrhs 944 > fused 756.4 > fst_half_mxu:high+
+# pallasrhs 687 > matmul 635.9 > fst 571.  The fused variants are the
+# interior-padded formulation (models/cavity_fused.py; trajectory-
+# equality pinned by tests/test_cavity_fused.py).
 CAVITY_VARIANTS = (
-    ("matmul_bf16x1", "highest", "pallas"),
-    # round-5 candidates: the interior-padded fused formulation
-    # (models/cavity_fused.py) — no offset-by-one relayouts, exact MXU
-    # tiles, walls as carried O(n) vectors; raced at all three
-    # precision tiers (trajectory-equality pinned by
-    # tests/test_cavity_fused.py)
     ("fused_bf16x1", "highest", "xla"),
     ("fused_bf16x3", "highest", "xla"),
+    ("matmul_bf16x1", "highest", "pallas"),
     ("matmul_bf16x3", "highest", "pallas"),
     ("fused", "highest", "xla"),
     ("matmul_bf16x1", "highest", "xla"),
@@ -802,8 +799,8 @@ def main(argv=None):
     # default-config performance (ADVICE r4)
     for r in all_results:
         if (r.get("worker") == "cavity" and "error" not in r
-                and r.get("variant", "").startswith("matmul_bf16x3")
-                and not cavity_impl.startswith("matmul_bf16x3")):
+                and r.get("variant", "").startswith("fused_bf16x3")
+                and not cavity_impl.startswith("fused_bf16x3")):
             extra["default_variant_steps_per_sec"] = round(r["value"], 2)
             extra["default_variant"] = _variant_name(
                 "cavity", *r["variant"].split(","))

@@ -32,24 +32,33 @@ from cfd_julia_tpu.poisson import direct
 
 
 def _poisson_choice(name: str, backend: str | None = None, *,
-                    single_device: bool = True) -> str:
+                    single_device: bool = True,
+                    allow_fused: bool = False) -> str:
     """Resolve poisson="auto" to the measured winner for the backend.
 
-    On TPU the round-4 full bench (benchmarks/results/
-    bench_full_20260818T102642.log) ranks the interior-aligned 3-pass-bf16
-    matmul DST first at the north-star 1024^2 (matmul_bf16x3 866.5 steps/s
-    vs fst 570.2, trajectory within 3e-5 of the fp32 fst baseline and
-    inside the 1% fp64 physics anchors); off-TPU the precision knob is a
-    no-op and the rfft DST-I avoids materializing dense sine matrices.
-    benchmarks/results/winners.json records the measurements;
-    tests/test_autoselect.py asserts this resolver agrees with them."""
+    On TPU the measured certified-tier winner is the interior-padded
+    FUSED formulation at the 3-pass-bf16 tier (fused_bf16x3 1098.0
+    steps/s at the north-star 1024^2, round-5 solo race
+    benchmarks/results/fused_race_20260819T041823.log — vs
+    matmul_bf16x3+pallas 944; trajectory pinned to the full-grid step
+    by tests/test_cavity_fused.py and certified fp32-grade over the
+    full reference run, BASELINE.md round-5 study).  The fused step
+    carries a packed state, so only solve() (allow_fused=True) may
+    resolve to it; make_step_fn's auto stays the best full-grid-state
+    variant (matmul_bf16x3, 868 steps/s with the XLA RHS).  Off-TPU
+    the precision knob is a no-op and the rfft DST-I avoids
+    materializing dense sine matrices.  benchmarks/results/winners.json
+    records the measurements; tests/test_autoselect.py asserts this
+    resolver agrees with them."""
     if name != "auto":
         return name
     if not single_device:
         return "fst"  # mesh runs need the pencil-shardable DST; the
-                      # matmul winner is single-device only
+                      # matmul/fused winners are single-device only
     backend = backend or jax.default_backend()
-    return "matmul_bf16x3" if backend == "tpu" else "fst"
+    if backend != "tpu":
+        return "fst"
+    return "fused_bf16x3" if allow_fused else "matmul_bf16x3"
 
 
 def _rhs_choice(name: str, backend: str | None = None, *,
@@ -408,6 +417,12 @@ def solve(cfg: CavityConfig, dtype=None, checkpoint_every: int = 0,
     import numpy as np
 
     from cfd_julia_tpu.utils import checkpoint
+
+    # solve() owns the packed-state fused path, so its auto may resolve
+    # to the fused winner (make_step_fn's auto cannot — packed state)
+    resolved = _poisson_choice(cfg.poisson, allow_fused=True)
+    if resolved != cfg.poisson:
+        cfg = dataclasses.replace(cfg, poisson=resolved)
 
     dtype = dtype or precision.default_dtype()
     x = jnp.linspace(0.0, 1.0, cfg.nx + 1, dtype=dtype)

@@ -81,10 +81,12 @@ _RIEMANN = {"roe": riemann.roe, "hllc": riemann.hllc, "rusanov": riemann.rusanov
 def _euler_rhs_choice(name: str, backend=None) -> str:
     """Resolve rhs_impl="auto" to the measured winner for the backend.
 
-    Round-5 on-chip coverage battery (benchmarks/results/bench_last.json
-    coverage_euler_* rows): the fused Pallas WENO+Riemann kernel vs the
-    XLA RHS at the reference nx=8192 HLLC config decides the TPU choice;
-    CPU always uses the XLA RHS (Pallas would run interpreted).
+    Round-5 solo re-measure at the reference nx=8192 HLLC config
+    (benchmarks/results/euler_solo_20260819T041823.log): the fused
+    Pallas WENO+Riemann kernel 19776.3 vs the XLA RHS 19660.6 steps/s —
+    pallas by +0.6% (the contended coverage rows had reversed the order
+    by 3.6%; the solo rows decide).  CPU always uses the XLA RHS
+    (Pallas would run interpreted).
     tests/test_autoselect.py pins this resolver against winners.json."""
     if name != "auto":
         return name

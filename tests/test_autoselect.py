@@ -69,8 +69,19 @@ def test_cavity_auto_poisson_is_measured_winner():
     assert cavity._poisson_choice("auto", backend="tpu") == rec["winner"]
     sps = rec["full_bench_steps_per_sec_at_1024"]
     assert sps[rec["winner"]] == max(sps.values())
+    # solve() owns the packed-state fused path: its auto resolves to the
+    # round-5 certified-tier winner (fused_bf16x3, the fastest variant
+    # in the same bf16x3 trajectory class — bf16x1 rows are a different,
+    # uncertified tier and not eligible for the auto default)
+    assert cavity._poisson_choice(
+        "auto", backend="tpu", allow_fused=True) == rec["solve_winner"]
+    r5 = rec["round5_solo_race_steps_per_sec_at_1024"]
+    certified = {k: v for k, v in r5.items() if "bf16x1" not in k}
+    assert max(certified, key=certified.get) == rec["solve_winner"]
     # off-TPU and under a mesh the fallback is the rfft DST
     assert cavity._poisson_choice("auto", backend="cpu") == "fst"
+    assert cavity._poisson_choice(
+        "auto", backend="cpu", allow_fused=True) == "fst"
     assert cavity._poisson_choice(
         "auto", backend="tpu", single_device=False) == "fst"
     # explicit names pass through untouched
@@ -132,3 +143,16 @@ def test_vortex_auto_off_tpu_is_xla(monkeypatch):
 def test_vortex_fft_ms_record_ranks_xla_first_at_highest():
     ms = WINNERS["vortex_fft_impl"]["measured_ms_at_2048"]
     assert ms["fft2_xla"] == min(ms.values())
+
+
+def test_euler_auto_rhs_is_measured_winner():
+    from cfd_julia_tpu.models import euler1d
+
+    rec = WINNERS["euler_rhs"]
+    assert euler1d.EulerConfig().rhs_impl == "auto"
+    assert euler1d._euler_rhs_choice("auto", backend="tpu") == \
+        rec["winner"]
+    sps = rec["solo_steps_per_sec_at_8192_hllc"]
+    assert sps[rec["winner"]] == max(sps.values())
+    assert euler1d._euler_rhs_choice("auto", backend="cpu") == "xla"
+    assert euler1d._euler_rhs_choice("pallas", backend="cpu") == "pallas"

@@ -146,8 +146,21 @@ def test_cavity_ghia_re1000():
                     reason="slow validation tier: set CFD_SLOW=1")
 def test_cavity_ghia_re1000_256():
     """Re=1000 at 256^2 (VERDICT r4 item 10: the slow-tier grid above
-    the default-tier 128^2 run) — deviations must shrink with the finer
-    grid, completing the Ghia table Re=100/400/1000 x {default, slow}."""
+    the default-tier 128^2 run), completing the Ghia table
+    Re=100/400/1000 x {default, slow}.
+
+    Extrema are checked against the Botella & Peyret (1998) N=160
+    spectral benchmark, NOT Ghia's 1982 tabulated values: Ghia's own
+    129^2 psi-omega values carry ~0.01 error near the v extremum
+    (their v_min -0.5155 vs the spectral -0.52708), and our grid
+    sequence converges monotonically toward the spectral values PAST
+    Ghia's (measured fp64, 2026-08-19: v_min -0.51923 at 128^2 ->
+    -0.52476 at 256^2; psi_min -0.11763 -> -0.11849 vs B&P -0.118937;
+    u_min -0.38362 -> -0.38713 vs B&P -0.38857).  A tight band around
+    Ghia's table is therefore unreachable for any CONVERGING 2nd-order
+    code at 256^2; the centerline bands below are Ghia-table-wide (the
+    v band dominated by Ghia's error near x~0.9), the extrema bands
+    are Botella-Peyret-tight."""
     cfg = cavity.CavityConfig(nx=256, ny=256, re=1000.0, t_final=60.0)
     res = cavity.solve(cfg)
     assert float(res.rms_history[-1]) < 1e-6
@@ -157,9 +170,15 @@ def test_cavity_ghia_re1000_256():
     vi = np.interp(GHIA_X, np.linspace(0, 1, cfg.nx + 1), np.asarray(v))
     assert np.abs(ui - GHIA_U_1000).max() < 0.008, \
         np.abs(ui - GHIA_U_1000).max()
-    assert np.abs(vi - GHIA_V_1000).max() < 0.008, \
+    assert np.abs(vi - GHIA_V_1000).max() < 0.016, \
         np.abs(vi - GHIA_V_1000).max()
-    assert abs(float(np.asarray(res.s).min()) - (-0.117929)) < 7e-4
+    # Botella & Peyret (1998) spectral benchmark extrema, Re=1000
+    s_min = float(np.asarray(res.s).min())
+    assert abs(s_min - (-0.118937)) < 1e-3, s_min
+    v_np = np.asarray(v)
+    assert abs(v_np.min() - (-0.52708)) < 4e-3, v_np.min()
+    assert abs(v_np.max() - 0.37695) < 3e-3, v_np.max()
+    assert abs(np.asarray(u).min() - (-0.38857)) < 3e-3
 
 
 def test_cavity_bc_orders_agree():
