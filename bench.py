@@ -221,7 +221,12 @@ CAVITY_VARIANTS = (
 # matmul:high 179.6 > matmul:high+rowsfirst 168.3 > xla+rowsfirst 164.2 >
 # xla 141.2 = matmul 141.2 steps/s, all physics ok).
 PS_VARIANTS = (
-    ("matmul", "high", "pack"), ("matmul", "high", "rowsfirst"),
+    ("matmul", "high", "pack"),
+    # round-5 candidate: single-pass-bf16 transforms — the ps23
+    # analogue of the cavity bf16x1 short-horizon tier (physics-gated;
+    # NOT the auto default, which stays the fp32-grade matmul:high)
+    ("matmul", "default", "pack"),
+    ("matmul", "high", "rowsfirst"),
     ("xla", "highest", "rowsfirst"), ("xla", "highest", "pack"),
     ("matmul", "highest", "pack"),
 )
@@ -840,6 +845,13 @@ def main(argv=None):
               f"{ps_sps:.1f} steps/s{vs_ps}", file=sys.stderr)
         summary[f"ps23_{args.ps_nx}_steps_per_sec"] = round(ps_sps, 2)
         summary["ps23_impl"] = ps_impl
+        # tier tag, same contract as the cavity headline: a ":default"
+        # (single-pass bf16) winner is a tagged short-horizon tier, not
+        # the fp32-grade auto default
+        summary["ps23_precision_tier"] = (
+            "bf16-1pass (short-horizon tier; auto default is the "
+            "fp32-grade matmul:high)" if ":default" in ps_impl
+            else "fp32-grade")
         if args.ps_nx == 2048:
             summary["ps23_vs_baseline"] = round(
                 ps_sps / PS23_BASELINE_STEPS_PER_SEC, 1)

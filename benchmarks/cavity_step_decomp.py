@@ -15,7 +15,12 @@ Usage: python benchmarks/cavity_step_decomp.py [--nx 1024] [--iters 200]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():

@@ -21,9 +21,14 @@ Usage: python benchmarks/mg_overhead_probe.py [--nx 4096]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():

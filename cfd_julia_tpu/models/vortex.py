@@ -62,7 +62,11 @@ class VortexConfig:
                              # when fft_impl auto-resolves to matmul,
                              # else "highest") | "highest" (fp32-exact
                              # 6-pass bf16) | "high" (3-pass, ~fp32
-                             # accuracy, 2x MXU throughput)
+                             # accuracy, 2x MXU throughput) | "default"
+                             # (single-pass bf16, ~2e-3 rel transform
+                             # error — a raced short-horizon throughput
+                             # tier like the cavity bf16x1, NOT the
+                             # auto default; physics-gated in bench.py)
     pair_impl: str = "pack"  # pack (full Hermitian mirror, then ifft2) |
                              # rowsfirst (mirror after the kx transform:
                              # no row flip, all half-blocks in one
@@ -88,7 +92,8 @@ class VortexConfig:
                   ("ic", ("vm", "tgv")),
                   ("rhs_impl", ("auto", "xla", "pallas")),
                   ("fft_impl", ("auto", "xla", "matmul")),
-                  ("fft_precision", ("auto", "highest", "high")),
+                  ("fft_precision", ("auto", "highest", "high",
+                                     "default")),
                   ("pair_impl", ("pack", "rowsfirst")))
         for name, allowed in _check:
             if getattr(self, name) not in allowed:
