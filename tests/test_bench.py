@@ -266,8 +266,8 @@ def test_final_stdout_line_is_complete_battery_json(monkeypatch, tmp_path,
                   variant_timeout_s=0.0, minimize=False, results=None):
         if results is not None and worker == "cavity":
             results.append({"worker": "cavity",
-                            "variant": "matmul_bf16x3,highest,pallas",
-                            "value": 937.5, "unit": "steps/s"})
+                            "variant": "fused_bf16x3,highest,xla",
+                            "value": 1098.0, "unit": "steps/s"})
         if minimize:
             return 0.11, variants[0]
         return (1303.0, "matmul_bf16x1+pallasrhs") if worker == "cavity" \
@@ -292,8 +292,8 @@ def test_final_stdout_line_is_complete_battery_json(monkeypatch, tmp_path,
     # precision-tier tagging (ADVICE r4): the record's tier is explicit
     # and the shipped default's own number rides along
     assert out["precision_tier"].startswith("bf16-1pass")
-    assert out["default_variant_steps_per_sec"] == 937.5
-    assert out["default_variant"] == "matmul_bf16x3+pallasrhs"
+    assert out["default_variant_steps_per_sec"] == 1098.0
+    assert out["default_variant"] == "fused_bf16x3"
     # coverage rows ride the final line too
     assert out["coverage_euler_hllc_pallas_8192"] == 9000.0
 
@@ -323,9 +323,9 @@ def test_max_variants_caps_every_family(monkeypatch, tmp_path, capsys):
 
     monkeypatch.setattr(bench, "race", fake_race)
     assert bench.main(["--max-variants", "1"]) == 0
-    # the secure pass runs each family's PROVEN on-chip winner (round-4
-    # full race, bench_full_20260818T120555.log)
-    assert raced["cavity"] == ("matmul_bf16x1,highest,pallas",)
+    # the secure pass runs each family's PROVEN on-chip winner (round-5
+    # solo race, fused_race_20260819T041823.log)
+    assert raced["cavity"] == ("fused_bf16x1,highest,xla",)
     assert raced["ps23"] == ("matmul,high,pack",)
     assert raced["mg"] == ("matmul,on,plain",)
     out = capsys.readouterr().out
