@@ -74,7 +74,23 @@ sys.path.insert(0, os.getcwd())
 import bench
 from cfd_julia_tpu.models import cavity
 
+from cfd_julia_tpu.models import cavity_fused
+
 for poisson, prec, rhs in dict.fromkeys(bench.CAVITY_VARIANTS):
+    if poisson.startswith("fused"):
+        # interior-padded fused formulation routes through cavity_fused
+        # (make_step_fn rejects it by design); same worker mapping as
+        # bench.worker_cavity
+        mmp = {"fused": "highest", "fused_bf16x3": "high",
+               "fused_bf16x1": "default"}[poisson]
+        ccfg = cavity.CavityConfig(nx=256, ny=256)
+        fstep = cavity_fused.make_fused_step_fn(ccfg, mm_precision=mmp)
+        fst0 = cavity_fused.init_state(ccfg, jnp.float32)
+        cmb = len(lower(lambda s: loop.run_steps(fstep, s, 10),
+                        fst0)) / 1e6
+        assert cmb < 8.0, f"cavity {poisson} lowered text {cmb:.1f} MB"
+        print(f"cavity_{poisson}:{prec}:{rhs} OK ({cmb:.2f} MB)")
+        continue
     ccfg = cavity.CavityConfig(nx=256, ny=256, poisson=poisson,
                                fft_precision=prec, rhs_impl=rhs)
     cstep = cavity.make_step_fn(ccfg)
