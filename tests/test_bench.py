@@ -34,6 +34,21 @@ def test_worker_cavity_subprocess_contract():
     assert out["physics"] == "no-anchor"
 
 
+def test_timed_scan_repeats_keep_anchor_state_at_2x_steps():
+    """Best-of-3 timing (round-5 contention defense) must not move the
+    physics-gate point: the returned state is the state after exactly
+    2*steps (warm window + FIRST timed window), because anchors are
+    keyed at (family, nx, 2*steps); later windows only contribute
+    timing."""
+    import jax.numpy as jnp
+
+    step = lambda s: s + 1.0
+    sps, state = bench._timed_scan(step, jnp.zeros(()), steps=50,
+                                   sync=lambda s: float(s), repeats=3)
+    assert float(state) == 100.0          # 2 * steps applications
+    assert sps > 0
+
+
 def test_check_anchor_gate(monkeypatch, tmp_path):
     """Unit contract of the physics acceptance gate: within-tolerance
     metrics pass, out-of-tolerance raise, unknown keys are no-anchor."""
